@@ -1,0 +1,155 @@
+"""Deterministic image codec — pure numpy + zlib, no external image libs.
+
+The container has no PIL/opencv, so the decode step of the multimodal
+pipeline is implemented against a real, self-contained codec instead of a
+stub: a minimal but genuine PNG encoder/decoder (signature + IHDR + IDAT
+zlib stream + IEND, filter type 0, 8-bit RGB), plus a deterministic lossy
+variant ("jpeg" label) that quantizes pixels before PNG-packing. The lossy
+round-trip loses real information (quantization step 4 => PSNR ~= 46 dB >
+the 40 dB gate in BASELINE.json input_hint), so the PSNR test is
+meaningful, while everything stays bit-deterministic.
+
+All functions here are called ONLY inside Arrow-batched pandas UDFs
+(mapInPandas) — never per-row from the driver. They are plain ndarray
+transforms so a future swap to PIL/turbojpeg changes one import.
+
+Reference parity: the reference stores scraped payloads as JSON files
+(/root/reference/src/storage/main.go:142-165); the graft payload per
+BASELINE.json input_hint is image+caption, hence this codec.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_STEP = 4  # quantization step for the "jpeg" stand-in (~46 dB PSNR)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG byte stream."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("png_encode expects (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # filter byte 0 per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by :func:`png_encode` back to (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("only filter type 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """fmt='png' => lossless; fmt='jpeg' => deterministic lossy stand-in."""
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "jpeg":
+        q = (pixels.astype(np.int32) // _LOSSY_STEP * _LOSSY_STEP + _LOSSY_STEP // 2).clip(
+            0, 255
+        )
+        return b"WJPG" + png_encode(q.astype(np.uint8))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode either container back to (h, w, 3) uint8 pixels."""
+    if data[:4] == b"WJPG":
+        return png_decode(data[4:])
+    return png_decode(bytes(data))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+# --- perceptual hash -------------------------------------------------------
+
+_DCT_N = 32
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= np.sqrt(1 / n)
+    m[1:] *= np.sqrt(2 / n)
+    return m
+
+
+_DCT_M = _dct_matrix(_DCT_N)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash, signed int64 (Spark BIGINT).
+
+    Grayscale -> 32x32 average-pool resize -> 2D DCT -> top-left 8x8 (minus
+    DC) -> threshold at median -> 64 bits. Pure numpy, deterministic.
+    """
+    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    # average-pool to 32x32 (pad to a multiple first)
+    ph, pw = (-h) % _DCT_N, (-w) % _DCT_N
+    if ph or pw:
+        g = np.pad(g, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = g.shape[0] // _DCT_N, g.shape[1] // _DCT_N
+    small = g.reshape(_DCT_N, bh, _DCT_N, bw).mean(axis=(1, 3))
+    # einsum (optimize=False) stays on numpy's own deterministic loops;
+    # BLAS matmul (@) reorders float reductions per thread config, which
+    # flips threshold-adjacent bits between driver and executor workers.
+    dct = np.einsum("ij,jk,lk->il", _DCT_M, small, _DCT_M, optimize=False)
+    block = dct[:8, :8].flatten()
+    block = np.delete(block, 0)  # drop DC term
+    med = np.median(block)
+    bits = np.concatenate([[False], block > med])  # 64 bits, bit0 = 0
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # two's-complement into signed int64 for Spark LongType
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return int(val)
+
+
+def phash_batch(payloads: "list[bytes]") -> np.ndarray:
+    """Vectorized-entry helper for pandas UDFs: decode+phash a batch."""
+    return np.array([phash64(decode_image(p)) for p in payloads], dtype=np.int64)

@@ -1,0 +1,434 @@
+"""The crawl round engine: frontier -> schedule -> fetch -> commit.
+
+Each crawl round is one declarative DataFrame job (SURVEY.md §3.1
+"Spark rebuild lifecycle"):
+
+    state    = latest frontier rows (merge-on-read over the delta log)
+    pending  = state where status='pending'   [+ reclaimed expired leases]
+    batch    = politeness/priority schedule over pending (scale mode)
+               or the whole FIFO wave (reproduction mode)
+    results  = batch |> join(page source) |> mapInPandas(fetch+parse+decode)
+    links    -> canonicalize -> assign dense enqueue_seq -> frontier append
+    payloads -> first-wins per key -> anti-join seen keys -> images append
+    metrics  -> per (round, partition, host) aggregate   -> metrics append
+    done     -> status updates for the batch              -> frontier append
+    lineage  -> (round, table, commit) rows               -> lineage append
+
+Commit ordering gives crash idempotence: images (anti-join makes re-runs
+no-ops) land before the frontier's atomic links+done commit; lineage last.
+``rollback_to_round`` restores every table to its end-of-round commit and
+re-running produces byte-identical state (tested in tests/test_resume.py).
+
+Reproduction mode matches the reference semantics (SURVEY.md §0.1) and is
+asserted equal to the pure-Python simulator (sim.py) on crawl order,
+enqueue log, seen set and stored rows. Scale mode turns on the north-rule
+upgrades: per-host politeness budgets via skew-safe salted window rank,
+priority ordering, Bloom-prefiltered seen anti-join.
+
+Scale notes (10^10 frontier, 1000 executors):
+- No stage in the loop collects data: the only driver-side values are
+  per-partition counts (dense_seq offsets), a handful of scalars
+  (pending count, max seq) and Bloom shard bitmaps.
+- The frontier is never rewritten: status changes are O(batch) delta
+  appends; `DeltaTable.compact` folds the log between crawls.
+- The fetch stage repartitions by (host, salt) so one mega-host cannot
+  pin a single task; Arrow batch size bounds decode memory.
+- The global FIFO constraint lives in `enqueue_seq` *values*, not in a
+  physical sort: scheduling uses per-host windows, and a total sort only
+  happens in test/report helpers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .catalog import Catalog, DeltaTable
+from .functions.urls import canonicalize_series
+from .operators.fetch import make_synthetic_fetch_fn
+from .operators.ranking import budget_rank, dense_seq, topk_per_group
+from .operators.seen import antijoin_bloom, antijoin_exact
+from .schemas import (
+    FETCH_RESULT_SCHEMA,
+    FRONTIER_SCHEMA,
+    IMAGES_SCHEMA,
+    LINEAGE_SCHEMA,
+    METRICS_SCHEMA,
+    STATUS_DONE,
+    STATUS_FAILED,
+    STATUS_LEASED,
+    STATUS_PENDING,
+    WEB_PAGES_SCHEMA,
+)
+from .webgen import SyntheticWeb
+
+
+@F.pandas_udf(StringType())
+def _canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        mode: str = "reproduction",
+        k_cap: int | None = None,
+        host_budget: int | None = None,
+        salt_buckets: int = 16,
+        use_bloom: bool = False,
+        track_leases: bool = False,
+        lease_timeout_s: int = 30,
+        seed: int = 42,
+    ):
+        assert mode in ("reproduction", "scale")
+        self.spark = spark
+        self.mode = mode
+        self.k_cap = k_cap
+        self.host_budget = host_budget
+        self.salt_buckets = salt_buckets
+        self.use_bloom = use_bloom
+        self.track_leases = track_leases
+        self.lease_timeout_s = lease_timeout_s
+        self.seed = seed
+        cat = Catalog(warehouse)
+        self.frontier: DeltaTable = cat.table("frontier", FRONTIER_SCHEMA, key="enqueue_seq")
+        self.images: DeltaTable = cat.table("images", IMAGES_SCHEMA)
+        self.metrics: DeltaTable = cat.table("metrics", METRICS_SCHEMA)
+        self.lineage: DeltaTable = cat.table("lineage", LINEAGE_SCHEMA)
+        self.web_pages: DataFrame | None = None
+        self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
+        self._next_round: int | None = None  # cached current_round()
+
+    # -- sources ---------------------------------------------------------
+
+    def set_web(self, web: SyntheticWeb) -> None:
+        """Register the synthetic closed web as the page source."""
+        df = self.spark.createDataFrame(web.page_rows(), WEB_PAGES_SCHEMA)
+        self.set_web_df(df)
+
+    def set_web_df(self, df: DataFrame) -> None:
+        self.web_pages = df.persist()
+        self.web_pages.count()
+
+    # -- seeding -----------------------------------------------------------
+
+    def seed_urls(self, urls: list[str]) -> int:
+        """`scrap` (reference src/client/main.go:90-110): canonicalize and
+        append seeds with enqueue_seq 0..S-1 in list order."""
+        canon = list(canonicalize_series(pd.Series(urls)))
+        ucid = self.frontier.last_commit() + 1
+        rows = [(u, i) for i, u in enumerate(canon)]
+        df = self.spark.createDataFrame(rows, "url string, enqueue_seq long")
+        kinds = self.web_pages.select("url", "kind") if self.web_pages is not None else None
+        if kinds is not None:
+            df = df.join(F.broadcast(kinds), "url", "left")
+        else:
+            df = df.withColumn("kind", F.lit(None).cast("string"))
+        seeded = df.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
+            F.lit(0).alias("priority"),
+            F.lit(STATUS_PENDING).alias("status"),
+            "enqueue_seq",
+            F.lit(None).cast("timestamp").alias("lease_ts"),
+            F.lit(0).alias("round"),
+            F.lit(ucid).cast("long").alias("update_seq"),
+        )
+        return self.frontier.append(seeded, meta={"op": "seed", "n": len(urls)})
+
+    # -- lease machinery (reference src/queue/main.go:47-87) --------------
+
+    def reclaim_expired_leases(self) -> int:
+        """F2/T1: leased rows past the visibility timeout become pending
+        again (the reference sweeps every 10s for >30s-old leases)."""
+        state = self.frontier.latest_state(self.spark)
+        expired = state.where(
+            (F.col("status") == STATUS_LEASED)
+            & (
+                F.col("lease_ts")
+                < F.current_timestamp() - F.expr(f"INTERVAL {self.lease_timeout_s} SECONDS")
+            )
+        )
+        ucid = self.frontier.last_commit() + 1
+        updates = expired.withColumn("status", F.lit(STATUS_PENDING)).withColumn(
+            "lease_ts", F.lit(None).cast("timestamp")
+        ).withColumn("update_seq", F.lit(ucid).cast("long"))
+        if updates.isEmpty():
+            return 0
+        n = updates.count()
+        self.frontier.append(updates, meta={"op": "reclaim"})
+        return n
+
+    # -- the round ---------------------------------------------------------
+
+    def current_round(self) -> int:
+        if self._next_round is not None:
+            return self._next_round
+        rows = self.lineage.read(self.spark).agg(F.max("round").alias("m")).collect()
+        m = rows[0]["m"]
+        return 0 if m is None else m + 1
+
+    def run_round(self) -> dict | None:
+        """Run one crawl round; returns round stats or None if drained."""
+        spark = self.spark
+        round_no = self.current_round()
+        state = self.frontier.latest_state(spark).persist()
+        pending = state.where(F.col("status") == STATUS_PENDING)
+
+        # one driver-side scalar job: pending count + max seq together
+        head = state.agg(
+            F.sum(F.when(F.col("status") == STATUS_PENDING, 1).otherwise(0)).alias(
+                "n_pending"
+            ),
+            F.max("enqueue_seq").alias("max_seq"),
+        ).collect()[0]
+        if not head["n_pending"]:
+            state.unpersist()
+            return None
+        max_seq = head["max_seq"] or 0
+
+        # schedule the batch
+        if self.mode == "scale" and self.host_budget is not None:
+            order = [F.col("priority").desc(), F.col("enqueue_seq").asc()]
+            batch, _deferred = budget_rank(
+                pending,
+                "host",
+                order,
+                self.host_budget,
+                salt_col=F.col("url_hash"),
+                salt_buckets=self.salt_buckets,
+            )
+        else:
+            batch = pending  # the whole FIFO wave (reproduction mode)
+
+        # distribute fetch work across hosts: repartition by (host, salt)
+        # so a mega-host spreads over many tasks while politeness was
+        # already enforced per host above.
+        batch = batch.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("host"),
+            F.pmod(F.col("url_hash"), F.lit(self.salt_buckets)),
+        ).persist()
+
+        lease_commit = None
+        if self.track_leases:
+            ucid = self.frontier.last_commit() + 1
+            leased = (
+                batch.withColumn("status", F.lit(STATUS_LEASED))
+                .withColumn("lease_ts", F.current_timestamp())
+                .withColumn("update_seq", F.lit(ucid).cast("long"))
+            )
+            lease_commit = self.frontier.append(leased, meta={"op": "lease", "round": round_no})
+
+        # fetch + parse + decode (Arrow batches on executors)
+        pages = self.web_pages
+        fetch_input = batch.select("url", "enqueue_seq", "host", "url_type").join(
+            pages.select(
+                F.col("url"),
+                F.col("kind").alias("page_kind"),
+                F.col("links").alias("page_links"),
+                F.col("image_id").alias("page_image_id"),
+                F.col("fmt").alias("page_fmt"),
+                F.col("caption").alias("page_caption"),
+            ),
+            "url",
+            "left",
+        )
+        results = fetch_input.mapInPandas(self._fetch_fn, FETCH_RESULT_SCHEMA).persist()
+
+        # one stats job over the cached fetch results (drives branching too)
+        agg = results.agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("image_id").isNotNull(), 1).otherwise(0)).alias(
+                "payload_rows"
+            ),
+            F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0)).alias("failed"),
+            F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+        ).collect()[0]
+
+        # ---- payloads -> images (storage-key dedup, first wins;
+        # reference src/storage/main.go:146-151)
+        payloads = results.where(F.col("image_id").isNotNull())
+        firsts = topk_per_group(payloads, ["image_id"], ["enqueue_seq"], 1)
+        seen_keys = self.images.read(spark).select("image_id")
+        if self.use_bloom:
+            seen_count = seen_keys.count()
+            new_images_src = antijoin_bloom(
+                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+            )
+        else:
+            new_images_src = antijoin_exact(firsts, seen_keys, "image_id")
+        new_images = new_images_src.select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        img_commit = self.images.append(new_images, meta={"op": "merge", "round": round_no})
+
+        # ---- metrics per (round, fetch partition, host)
+        metrics_rows = (
+            results.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id", "host")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(
+                    F.when(F.col("image_id").isNotNull(), 1).otherwise(0)
+                ).alias("payloads"),
+                F.sum(
+                    F.when(F.col("status_code") >= 400, 1).otherwise(0)
+                ).alias("failed"),
+                F.sum(F.coalesce(F.length("bytes"), F.lit(0))).alias("bytes"),
+                F.sum("fetch_ms").alias("fetch_ms_sum"),
+            )
+            .select(
+                F.lit(round_no).alias("round"),
+                "partition_id",
+                "host",
+                "fetched",
+                F.col("payloads").alias("deduped"),  # payload rows seen
+                "failed",
+                "bytes",
+                "fetch_ms_sum",
+            )
+        )
+        met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
+
+        # ---- discovered links -> new frontier rows (FIFO seq assignment)
+        new_rows = None
+        if agg["n_links"]:
+            links = (
+                results.where(F.size("links") > 0)
+                .select(
+                    F.col("enqueue_seq").alias("parent_seq"),
+                    F.posexplode("links").alias("link_pos", "raw_url"),
+                )
+                .withColumn("url", _canonicalize_udf(F.col("raw_url")))
+            )
+            kind_map = pages.select("url", "kind")
+            typed = links.join(kind_map, "url", "left")
+            with_seq = dense_seq(typed, ["parent_seq", "link_pos"], start=max_seq + 1)
+            new_rows = with_seq.select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                F.parse_url("url", F.lit("HOST")).alias("host"),
+                F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
+                F.lit(0).alias("priority"),
+                F.lit(STATUS_PENDING).alias("status"),
+                "enqueue_seq",
+                F.lit(None).cast("timestamp").alias("lease_ts"),
+                F.lit(round_no).alias("round"),
+                F.lit(0).cast("long").alias("update_seq"),  # stamped below
+            )
+
+        # ---- status updates for the batch
+        outcomes = results.select(
+            "enqueue_seq",
+            F.when(F.col("status_code") < 400, F.lit(STATUS_DONE))
+            .otherwise(F.lit(STATUS_FAILED))
+            .alias("_new_status"),
+        )
+        done_updates = (
+            batch.join(outcomes, "enqueue_seq")
+            .withColumn("status", F.col("_new_status"))
+            .drop("_new_status")
+            .withColumn("round", F.lit(round_no))
+            .withColumn("lease_ts", F.lit(None).cast("timestamp"))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+        ucid = self.frontier.last_commit() + 1
+        frontier_delta = done_updates
+        if new_rows is not None:
+            frontier_delta = new_rows.unionByName(done_updates)
+        frontier_delta = frontier_delta.withColumn(
+            "update_seq", F.lit(ucid).cast("long")
+        )
+        fr_commit = self.frontier.append(
+            frontier_delta, meta={"op": "round", "round": round_no}
+        )
+
+        # ---- lineage (round -> commit per table)
+        lin_rows = [
+            (round_no, "images", img_commit),
+            (round_no, "metrics", met_commit),
+            (round_no, "frontier", fr_commit),
+        ]
+        if lease_commit is not None:
+            lin_rows.append((round_no, "frontier_lease", lease_commit))
+        lin_df = self.spark.createDataFrame(
+            lin_rows, "round int, table string, commit_id long"
+        ).withColumn("committed_at", F.current_timestamp())
+        self.lineage.append(lin_df.select(*[f.name for f in LINEAGE_SCHEMA.fields]))
+
+        stats = {
+            "round": round_no,
+            "batch": agg["fetched"],
+            "payload_rows": agg["payload_rows"] or 0,
+            "failed": agg["failed"] or 0,
+            "links": agg["n_links"] or 0,
+        }
+        results.unpersist()
+        batch.unpersist()
+        state.unpersist()
+        self._next_round = round_no + 1
+        return stats
+
+    def run(self, max_rounds: int = 1000) -> list[dict]:
+        out = []
+        for _ in range(max_rounds):
+            stats = self.run_round()
+            if stats is None:
+                break
+            out.append(stats)
+        return out
+
+    # -- resume / rollback -------------------------------------------------
+
+    def rollback_to_round(self, round_no: int) -> None:
+        """Restore every table to its state at the END of `round_no`
+        (Iceberg rollback_to_snapshot analogue, driven by lineage)."""
+        lin = self.lineage.read(self.spark)
+        last = {
+            r["table"]: r["commit_id"]
+            for r in lin.where(F.col("round") <= round_no)
+            .groupBy("table")
+            .agg(F.max("commit_id").alias("commit_id"))
+            .collect()
+        }
+        # lineage itself: keep one commit per round -> commit index == round+1
+        self.frontier.rollback(last.get("frontier", 0) or 0)
+        self.images.rollback(last.get("images", 0) or 0)
+        self.metrics.rollback(last.get("metrics", 0) or 0)
+        n_lineage_commits = round_no + 1
+        self.lineage.rollback(n_lineage_commits)
+        self._next_round = None  # recompute from lineage next round
+
+    # -- reporting -----------------------------------------------------------
+
+    def crawl_order(self) -> DataFrame:
+        """Fetched URLs in crawl order: (processing round, enqueue_seq)."""
+        state = self.frontier.latest_state(self.spark)
+        return (
+            state.where(F.col("status").isin(STATUS_DONE, STATUS_FAILED))
+            .orderBy("round", "enqueue_seq")
+            .select("url", "round", "enqueue_seq", "status")
+        )
+
+    def enqueue_log(self) -> DataFrame:
+        """Every enqueue event in order (the reference Put log)."""
+        first = (
+            self.frontier.read(self.spark)
+            .groupBy("enqueue_seq")
+            .agg(F.min_by("url", "update_seq").alias("url"))
+        )
+        return first.orderBy("enqueue_seq")
+
+    def gather(self) -> DataFrame:
+        """Reference `gather` (src/client/main.go:145-203): full merged
+        scan of stored payloads, first-wins per key is already guaranteed
+        by the merge discipline."""
+        return self.images.read(self.spark).orderBy("image_id")

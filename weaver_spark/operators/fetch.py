@@ -1,0 +1,205 @@
+"""Fetch + parse + decode as one Arrow-batched ``mapInPandas`` stage.
+
+Reference path being re-expressed (SURVEY.md S5/F4/F5/U1): colly GET with
+retry/backoff (``/root/reference/src/scrapper/amazonRootHandler.go:14-26``),
+URLType dispatch switch (``src/scrapper/queueService.go:169-197``), CSS
+selector field extraction (``neweggProductHandler.go:21-48``), link
+extraction with DOM-order caps (``amazonRootHandler.go:33-43``).
+
+Spark-first shape: the scheduler hands this stage a DataFrame of leased
+URLs already joined with their page content source; ``mapInPandas``
+processes Arrow batches entirely on executors — fetching, dispatching by
+url_type, extracting links, decoding image payloads (real PNG/lossy codec
+in ``codec.py``), computing phash — and emits one typed result row per
+URL. No ``collect()``, no per-row Python UDFs, no driver involvement.
+
+Two fetchers:
+
+- ``synthetic_fetch_fn``: resolves against the closed synthetic web
+  (FIXTURES.md §3). Page content (links/image_id/caption/fmt) arrives as
+  joined columns; pixels are generated deterministically from image_id on
+  the executor and round-tripped through the codec — the decode work is
+  real, only the network is simulated.
+- ``http_fetch_fn``: a real urllib-based batch fetcher with the
+  reference's 5x exponential backoff. Not exercised by tests (the sandbox
+  has no network) but shows the production shape: same signature, same
+  output schema, swap one function.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..codec import decode_image, phash64
+from ..schemas import URL_TYPE_ROOT
+
+_FETCH_INPUT_COLS = [
+    "url",
+    "enqueue_seq",
+    "host",
+    "url_type",
+    "page_kind",
+    "page_links",
+    "page_image_id",
+    "page_fmt",
+    "page_caption",
+]
+
+
+def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
+    """Build the mapInPandas callable for the synthetic web."""
+
+    def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # heavy imports resolve once per python worker, not per batch
+        from ..webgen import gen_payload
+
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "enqueue_seq": pdf["enqueue_seq"],
+                "host": pdf["host"],
+                "url_type": pdf["url_type"],
+                "status_code": np.where(pdf["page_kind"].notna(), 200, 404).astype(
+                    "int32"
+                ),
+                "links": [None] * n,
+                "image_id": [None] * n,
+                "bytes": [None] * n,
+                "w": [None] * n,
+                "h": [None] * n,
+                "fmt": [None] * n,
+                "caption": [None] * n,
+                "phash": [None] * n,
+                "fetch_ms": np.zeros(n, dtype="int64"),
+            }
+            kinds = pdf["page_kind"].to_numpy(dtype=object)
+            links_col = pdf["page_links"].to_numpy(dtype=object)
+            image_ids = pdf["page_image_id"].to_numpy(dtype=object)
+            captions = pdf["page_caption"].to_numpy(dtype=object)
+            for i in range(n):
+                t0 = time.perf_counter()
+                kind = kinds[i]
+                if kind == "root":
+                    links = list(links_col[i]) if links_col[i] is not None else []
+                    if k_cap is not None:
+                        links = links[:k_cap]
+                    out["links"][i] = links
+                elif kind == "leaf":
+                    iid = image_ids[i]
+                    payload, w, h, fmt, ph = gen_payload(iid, seed)
+                    out["image_id"][i] = iid
+                    out["bytes"][i] = payload
+                    out["w"][i] = w
+                    out["h"][i] = h
+                    out["fmt"][i] = fmt
+                    out["caption"][i] = captions[i]
+                    out["phash"][i] = ph
+                # kind None (404) / "dummy": nothing extracted
+                out["fetch_ms"][i] = int((time.perf_counter() - t0) * 1000)
+            res = pd.DataFrame(out)
+            res["w"] = res["w"].astype("Int32")
+            res["h"] = res["h"].astype("Int32")
+            # pd.array, NOT astype("Int64"): astype routes object->float64
+            # when NULLs are present and rounds int64s above 2^53 — phash
+            # values are full-range 64-bit.
+            res["phash"] = pd.array(out["phash"], dtype="Int64")
+            yield res
+
+    return fetch_fn
+
+
+def make_http_fetch_fn(
+    k_cap: int | None,
+    link_selector_re: str = r'href="([^"]+)"',
+    timeout_s: float = 10.0,
+    max_retries: int = 5,
+):
+    """Production-shaped HTTP fetcher (reference retryVisit semantics:
+    5 attempts, 2^i s backoff — ``amazonRootHandler.go:14-26``).
+
+    Parses links with a regex dispatch table (the CSS-selector analogue,
+    U1 registry); payload pages return raw bytes for a downstream decode
+    stage. Untested in the sandbox (no network) — provided as the swap-in
+    production path with the identical output schema.
+    """
+    import re
+    import urllib.request
+
+    link_re = re.compile(link_selector_re)
+
+    def fetch_one(url: str) -> tuple[int, bytes]:
+        for attempt in range(max_retries):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout_s) as r:
+                    return r.status, r.read()
+            except Exception:
+                if attempt == max_retries - 1:
+                    return 599, b""
+                time.sleep(min(2.0**attempt, 30.0))
+        return 599, b""
+
+    def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                t0 = time.perf_counter()
+                status, body = fetch_one(r["url"])
+                links = None
+                image_id = bytes_out = w = h = fmt = caption = ph = None
+                if status == 200 and r["url_type"] == URL_TYPE_ROOT:
+                    links = link_re.findall(body.decode("utf-8", "replace"))
+                    if k_cap is not None:
+                        links = links[:k_cap]
+                elif status == 200:
+                    image_id = r["url"]
+                    bytes_out = body
+                    try:
+                        px = decode_image(body)
+                        h_, w_ = px.shape[:2]
+                        w, h, fmt, ph = w_, h_, "png", phash64(px)
+                    except Exception:
+                        fmt = "raw"
+                rows.append(
+                    (
+                        r["url"],
+                        r["enqueue_seq"],
+                        r["host"],
+                        r["url_type"],
+                        status,
+                        links,
+                        image_id,
+                        bytes_out,
+                        w,
+                        h,
+                        fmt,
+                        caption,
+                        ph,
+                        int((time.perf_counter() - t0) * 1000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "enqueue_seq",
+                    "host",
+                    "url_type",
+                    "status_code",
+                    "links",
+                    "image_id",
+                    "bytes",
+                    "w",
+                    "h",
+                    "fmt",
+                    "caption",
+                    "phash",
+                    "fetch_ms",
+                ],
+            )
+
+    return fetch_fn

@@ -1,0 +1,128 @@
+"""Ordering and per-key budget operators (SURVEY.md W1/W2 + north rule).
+
+- ``dense_seq``: deterministic, partition-count-independent assignment of
+  consecutive sequence numbers in a given sort order — the FIFO
+  ``enqueue_seq`` of the frontier (reference uses UnixNano ids,
+  ``/root/reference/src/queue/main.go:35``, which are racy; determinism
+  requires a derived order — SURVEY.md C5). Implemented scalably: range
+  repartition + per-partition row_number + partition offsets, never a
+  single global window.
+- ``topk_per_group``: the reference's link cap per root page
+  (``amazonRootHandler.go:33-43`` k=3, ``neweggRootHandler.go:19-24`` k=6).
+- ``budget_rank``: per-host politeness budget as a window rank. The
+  skew-safe variant prefilters within (host, salt) buckets — the global
+  per-host rank of a row is >= its rank within any salt bucket, so rows
+  ranked > budget inside their bucket can never make the budget and are
+  dropped before the exact per-host rank runs on the tiny survivor set
+  (<= salt * budget rows per host). This is what keeps mega-host skew
+  (one host owning 50% of the frontier) from hot-spotting one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "enqueue_seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign start, start+1, ... in the total order of ``order_cols``.
+
+    Two jobs over a pinned (persisted) range-partitioned intermediate:
+    count per partition -> cumulative offsets (tiny driver collect, one
+    row per partition) -> row_number within each partition. No global
+    single-partition window, so this holds at 10^10 rows. ``order_cols``
+    must be a strict total order (ties would make the result
+    nondeterministic).
+
+    The returned DataFrame is computed from a persisted intermediate; the
+    caller should materialize (write/append) promptly. We unpersist after
+    the offsets collect; Spark recomputes partitions deterministically
+    because range boundaries are already fixed in the plan.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    part.unpersist()  # downstream recompute is deterministic: fixed range
+    # boundaries + strict total order make pid and row_number stable.
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        offset_expr = F.coalesce(mapping[F.col("_pid")], F.lit(0))
+    else:
+        offset_expr = F.lit(0)  # empty input: no offsets to map
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = part.withColumn(
+        seq_col,
+        (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+    ).drop("_pid")
+    return out
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column | str], k: int
+) -> DataFrame:
+    """row_number() <= k per group (W1: link cap per root page)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def budget_rank(
+    df: DataFrame,
+    host_col: str,
+    order_cols: list[Column | str],
+    budget: int,
+    salt_col: Column | None = None,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Split df into (within_budget, deferred) per host.
+
+    ``order_cols`` define priority (e.g. [desc(priority), enqueue_seq]).
+    With ``salt_col`` (any stable int expression, e.g. xxhash64(url)), the
+    exact rank runs only on the salted-prefilter survivors — correctness
+    identical to the unsalted rank, shuffle skew bounded by salt_buckets.
+    """
+    if salt_col is not None:
+        salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(salt_buckets)))
+        wpre = Window.partitionBy(host_col, "_salt").orderBy(*order_cols)
+        pre = salted.withColumn("_prn", F.row_number().over(wpre))
+        survivors = pre.where(F.col("_prn") <= budget).drop("_salt", "_prn")
+        # rows eliminated by the prefilter are deferred by construction
+        pre_deferred = pre.where(F.col("_prn") > budget).drop("_salt", "_prn")
+    else:
+        survivors, pre_deferred = df, None
+
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    ranked = survivors.withColumn("_rn", F.row_number().over(w))
+    within = ranked.where(F.col("_rn") <= budget).drop("_rn")
+    deferred = ranked.where(F.col("_rn") > budget).drop("_rn")
+    if pre_deferred is not None:
+        deferred = deferred.unionByName(pre_deferred)
+    return within, deferred
+
+
+def fifo_order(df: DataFrame, seq_col: str = "enqueue_seq") -> DataFrame:
+    """W2: global FIFO materialization (for crawl-order comparison only —
+    a global sort is a test/report operation, never in the round loop)."""
+    return df.orderBy(seq_col)

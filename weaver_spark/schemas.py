@@ -1,0 +1,142 @@
+"""Explicit StructType schemas for every engine table.
+
+The reference fixes its schemas at compile time in Go structs
+(``/root/reference/src/common/Product.go:3-26``,
+``src/common/message.go:5-10``); we fix them here and never infer.
+
+Tables (SURVEY.md §1):
+
+- ``frontier``  — the URL queue. One row per *enqueue event* (the same URL
+  enqueued twice is two rows — the reference queue has no dedup,
+  ``src/queue/main.go:31-45``). Status transitions are appended as delta
+  rows keyed by ``enqueue_seq``; the current state is the latest update
+  per key (merge-on-read; see catalog.py).
+- ``images``    — fetched payloads, shape mandated by BASELINE.json
+  ``input_hint``: (image_id, bytes, w, h, fmt, caption, phash).
+- ``web_pages`` — the synthetic closed web graph the fetch UDF resolves
+  against in tests (FIXTURES.md §3). In production the fetch UDF does HTTP
+  and this table does not exist.
+- ``robots``    — per-host robots/politeness config (FIXTURES.md §4).
+- ``metrics``   — per (round, partition, host) fetch metrics (north rule).
+- ``lineage``   — round -> commit/snapshot mapping for resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# URL types: the reference enum AmazonProduct/NeweggProduct/NeweggRoot/
+# AmazonRoot/Dummy (src/common/Product.go:18-26) reduces to the two page
+# classes that matter for dataflow: root pages (yield links) and leaf
+# pages (yield one payload). "dummy" kept for parity with the reference's
+# discarded Amazon seeds (src/client/main.go:102).
+URL_TYPE_ROOT = "root"
+URL_TYPE_LEAF = "leaf"
+URL_TYPE_DUMMY = "dummy"
+
+STATUS_PENDING = "pending"
+STATUS_LEASED = "leased"
+STATUS_DONE = "done"
+STATUS_FAILED = "failed"
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),  # xxhash64(canonical url)
+        StructField("host", StringType(), False),
+        StructField("url_type", StringType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("enqueue_seq", LongType(), False),  # deterministic FIFO order
+        StructField("lease_ts", TimestampType(), True),
+        StructField("round", IntegerType(), False),  # round that wrote this row
+        # delta-log bookkeeping: a status update re-appends the row with a
+        # higher update_seq; current state = max(update_seq) per enqueue_seq.
+        StructField("update_seq", LongType(), False),
+    ]
+)
+
+# Authoritative payload shape from BASELINE.json input_hint.
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("caption", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+WEB_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("kind", StringType(), False),  # root | leaf
+        StructField("links", ArrayType(StringType()), True),  # root pages
+        StructField("image_id", StringType(), True),  # leaf pages
+        StructField("payload", BinaryType(), True),  # encoded image bytes
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("disallow_prefixes", ArrayType(StringType()), False),
+        StructField("crawl_delay_ms", IntegerType(), False),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("host", StringType(), False),
+        StructField("fetched", LongType(), False),
+        StructField("deduped", LongType(), False),
+        StructField("failed", LongType(), False),
+        StructField("bytes", LongType(), False),
+        StructField("fetch_ms_sum", LongType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("table", StringType(), False),
+        StructField("commit_id", LongType(), False),
+        StructField("committed_at", TimestampType(), False),
+    ]
+)
+
+# Output of the fetch/parse mapInPandas stage, before splitting into
+# links -> frontier and payloads -> images.
+FETCH_RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("enqueue_seq", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("url_type", StringType(), False),
+        StructField("status_code", IntegerType(), False),
+        StructField("links", ArrayType(StringType()), True),
+        StructField("image_id", StringType(), True),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+        StructField("fetch_ms", LongType(), False),
+    ]
+)

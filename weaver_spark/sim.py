@@ -1,0 +1,126 @@
+"""Pure-Python reference simulator — the crawl-semantics oracle.
+
+Implements exactly the behavioral semantics extracted from the reference
+in SURVEY.md §0.1:
+
+- single logical frontier, strict FIFO by enqueue order
+  (``/root/reference/src/queue/main.go:31-61``: Put appends to an order
+  slice, Pop returns the first visible message),
+- NO URL-seen set in the frontier — a URL enqueued twice is fetched twice
+  (``src/queue/main.go:31-45`` does no dedup),
+- ack-on-pop / at-most-once (``src/scrapper/queueService.go:91-94``),
+- dispatch by URL type: root pages yield ≤k_cap links re-enqueued in DOM
+  order (``amazonRootHandler.go:33-43`` caps 3, ``neweggRootHandler.go:19-24``
+  caps 6 — here the cap is a parameter applied identically in the Spark
+  engine), leaf pages yield one payload, dummy yields nothing
+  (``src/scrapper/queueService.go:169-197``),
+- storage dedup by payload key only: first write wins, later writes are
+  "Already Replicated" no-ops (``src/storage/main.go:146-151``).
+
+The loop is structured wave-by-wave (a wave = everything currently in the
+queue). With no politeness budget this is provably identical to the
+reference's one-at-a-time FIFO pop: children always enqueue behind every
+queued item, so pop order is wave-major, and within a wave it is enqueue
+order. Waves exist so the politeness upgrade (absent in the reference,
+demanded by the north rule) has one shared definition with the Spark
+round engine: per host, at most `host_budget` fetches per wave, lowest
+enqueue_seq first; over-budget URLs keep their seq and defer to the next
+wave.
+
+~150 LoC, no Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.urls import canonicalize_url
+from .webgen import SyntheticWeb, gen_payload
+
+
+@dataclass
+class SimResult:
+    crawl_order: list[str] = field(default_factory=list)  # canonical urls, pop order
+    enqueue_log: list[str] = field(default_factory=list)  # canonical urls, put order
+    seen_set: set[str] = field(default_factory=set)  # stored payload keys
+    stored: dict[str, dict] = field(default_factory=dict)  # image_id -> row
+    statuses: list[tuple[int, str, str]] = field(default_factory=list)
+    # (enqueue_seq, url, final status)
+    rounds: list[list[str]] = field(default_factory=list)  # urls per wave
+
+
+def simulate_crawl(
+    web: SyntheticWeb,
+    k_cap: int | None = None,
+    host_budget: int | None = None,
+    max_rounds: int = 10_000,
+) -> SimResult:
+    """Run the reference-semantics crawl to frontier exhaustion."""
+    res = SimResult()
+    next_seq = 0
+    wave: list[tuple[int, str]] = []  # (enqueue_seq, canonical url)
+
+    def put(url: str, into: list) -> None:
+        nonlocal next_seq
+        cu = canonicalize_url(url)
+        into.append((next_seq, cu))
+        res.enqueue_log.append(cu)
+        next_seq += 1
+
+    for s in web.seeds:
+        put(s, wave)
+
+    rounds = 0
+    while wave and rounds < max_rounds:
+        rounds += 1
+        wave.sort(key=lambda t: t[0])  # FIFO within the wave
+        spend: dict[str, int] = {}
+        process: list[tuple[int, str]] = []
+        defer: list[tuple[int, str]] = []
+        for seq, url in wave:
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            if host_budget is not None and spend.get(host, 0) >= host_budget:
+                defer.append((seq, url))  # keeps its enqueue_seq
+            else:
+                spend[host] = spend.get(host, 0) + 1
+                process.append((seq, url))
+        next_wave: list[tuple[int, str]] = []
+        round_urls: list[str] = []
+        for seq, url in process:  # Pop + immediate Ack (at-most-once)
+            res.crawl_order.append(url)
+            round_urls.append(url)
+            page = web.pages.get(url)
+            if page is None:
+                res.statuses.append((seq, url, "failed"))
+                continue
+            kind = page["kind"]
+            if kind == "root":
+                links = page["links"]
+                if k_cap is not None:
+                    links = links[:k_cap]
+                for link in links:  # DOM order preserved
+                    put(link, next_wave)
+            elif kind == "leaf":
+                image_id = page["image_id"]
+                if image_id not in res.seen_set:  # storage dedup, first wins
+                    payload, w, h, fmt, ph = gen_payload(image_id, web.seed)
+                    res.seen_set.add(image_id)
+                    res.stored[image_id] = {
+                        "image_id": image_id,
+                        "bytes": payload,
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": page["caption"],
+                        "phash": ph,
+                    }
+            res.statuses.append((seq, url, "done"))
+        res.rounds.append(round_urls)
+        wave = defer + next_wave
+    return res
+
+
+def gather(res: SimResult) -> list[dict]:
+    """Reference `gather`: merge all stored products, first-wins by key
+    (``/root/reference/src/client/main.go:176-192``)."""
+    return sorted(res.stored.values(), key=lambda r: r["image_id"])

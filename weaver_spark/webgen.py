@@ -1,0 +1,195 @@
+"""Deterministic synthetic web graph + image/caption payload generator.
+
+Implements FIXTURES.md §1/§3: a closed two-plus-level web (root pages link
+to leaf pages and optionally to deeper root pages, mirroring the
+reference's search-page -> product-page structure,
+``/root/reference/src/scrapper/amazonRootHandler.go:36-43``,
+``neweggRootHandler.go:19-24``), with:
+
+- Zipf-skewed host assignment (host h0 owns ~half the leaf URLs — the
+  mega-host skew fixture the politeness/salting path must survive),
+- ~20% duplicate links (same leaf linked from several roots) to exercise
+  the frontier's no-dedup semantics and the storage-key anti-join,
+- ~10% alias leaves (distinct URLs sharing an image_id) so URL-dedup and
+  storage-key-dedup are distinguishable,
+- a small fraction of "messy" link spellings (uppercase host, :80 port,
+  utm params, fragments) that canonicalize to the clean URL,
+- image payloads that are a pure function of image_id (seeded gradient +
+  noise, sizes 32..96, fmt cycling png/jpeg) — generated INSIDE the fetch
+  UDF on executors, so the bench never ships pixels through the driver.
+
+Everything is a pure function of (seed, shape params): no wall clock, no
+global RNG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codec import decode_image, encode_image, phash64
+
+_FMTS = ("png", "jpeg")
+
+
+def image_fmt(image_id: str) -> str:
+    return _FMTS[int(image_id.split("_")[1]) % 2]
+
+
+def image_caption(image_id: str, host: str) -> str:
+    i = int(image_id.split("_")[1])
+    return f"synthetic caption {i} for host {host}"
+
+
+def gen_pixels(image_id: str, seed: int = 42) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for an image_id."""
+    i = int(image_id.split("_")[1])
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+    side = 32 + (i % 5) * 16  # 32..96
+    yy, xx = np.mgrid[0:side, 0:side]
+    base = np.stack(
+        [
+            (xx * 255 / side),
+            (yy * 255 / side),
+            ((xx + yy) * 255 / (2 * side)),
+        ],
+        axis=-1,
+    )
+    noise = rng.normal(0, 12, size=base.shape)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def gen_payload(image_id: str, seed: int = 42) -> tuple[bytes, int, int, str, int]:
+    """(bytes, w, h, fmt, phash) for an image_id — the fetch UDF's work.
+
+    phash is computed from the DECODED payload (post-quantization for the
+    lossy fmt) so engine and oracle hash identical pixels.
+    """
+    px = gen_pixels(image_id, seed)
+    fmt = image_fmt(image_id)
+    payload = encode_image(px, fmt)
+    decoded = decode_image(payload)
+    h, w = decoded.shape[:2]
+    return payload, int(w), int(h), fmt, phash64(decoded)
+
+
+@dataclass
+class SyntheticWeb:
+    """The generated graph: page dicts + seed URL list."""
+
+    seeds: list[str]
+    # url -> {"kind": root|leaf, "links": [raw link spellings], "image_id",
+    #         "caption"} — links are RAW (possibly messy) spellings.
+    pages: dict[str, dict] = field(default_factory=dict)
+    seed: int = 42
+
+    def page_rows(self) -> list[tuple]:
+        """Rows for the web_pages table (payload generated lazily in UDF)."""
+        return [
+            (
+                url,
+                p["kind"],
+                p.get("links"),
+                p.get("image_id"),
+                None,
+                image_fmt(p["image_id"]) if p.get("image_id") else None,
+                p.get("caption"),
+            )
+            for url, p in self.pages.items()
+        ]
+
+
+def _zipf_host(rng: np.random.Generator, n_hosts: int) -> int:
+    """Host index with ~50% mass on host 0, long tail over the rest."""
+    if rng.random() < 0.5:
+        return 0
+    return 1 + int(rng.integers(0, n_hosts - 1)) if n_hosts > 1 else 0
+
+
+def _messy(url: str, rng: np.random.Generator) -> str:
+    """A raw spelling that canonicalizes back to `url`."""
+    r = rng.random()
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if r < 0.25:
+        return f"{scheme}://{host.upper()}/{path}"
+    if r < 0.5:
+        return f"{scheme}://{host}:80/{path}"
+    if r < 0.75:
+        return f"{url}?utm_source=feed&utm_campaign=x"
+    return f"{url}#frag"
+
+
+def make_web(
+    seed: int = 42,
+    n_hosts: int = 8,
+    n_seed_roots: int = 4,
+    depth: int = 2,
+    child_roots: int = 2,
+    leaves_per_root: tuple[int, ...] = (3, 6),
+    dup_frac: float = 0.2,
+    alias_frac: float = 0.1,
+    messy_frac: float = 0.3,
+) -> SyntheticWeb:
+    """Build the deterministic closed web.
+
+    Roots at depth d < `depth` link to `child_roots` deeper roots plus
+    k leaf links where k cycles through `leaves_per_root` (the reference's
+    3/6 fan-out caps, ``amazonRootHandler.go:34`` / ``neweggRootHandler.go:20``).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    web = SyntheticWeb(seeds=[], seed=seed)
+    next_leaf = 0
+    next_image = 0
+    leaf_urls: list[str] = []  # canonical leaf urls, for dup links
+    root_counter = 0
+
+    def new_leaf() -> str:
+        nonlocal next_leaf, next_image
+        k = _zipf_host(rng, n_hosts)
+        url = f"http://h{k}.test/item/{next_leaf}"
+        next_leaf += 1
+        # alias: ~alias_frac of leaves reuse the previous image_id
+        if leaf_urls and rng.random() < alias_frac:
+            image_id = web.pages[leaf_urls[-1]]["image_id"]
+        else:
+            image_id = f"img_{next_image:08d}"
+            next_image += 1
+        web.pages[url] = {
+            "kind": "leaf",
+            "image_id": image_id,
+            "caption": image_caption(image_id, f"h{k}.test"),
+        }
+        leaf_urls.append(url)
+        return url
+
+    def new_root(d: int) -> str:
+        nonlocal root_counter
+        k = _zipf_host(rng, n_hosts)
+        url = f"http://h{k}.test/cat/{root_counter}"
+        root_counter += 1
+        n_leaves = leaves_per_root[root_counter % len(leaves_per_root)]
+        links: list[str] = []
+        if d < depth:
+            links.extend(new_root(d + 1) for _ in range(child_roots))
+        for _ in range(n_leaves):
+            if leaf_urls and rng.random() < dup_frac:
+                target = leaf_urls[int(rng.integers(0, len(leaf_urls)))]
+            else:
+                target = new_leaf()
+            links.append(target)
+        # roughen some spellings — canonicalization must undo this
+        links = [
+            _messy(u, rng) if rng.random() < messy_frac else u for u in links
+        ]
+        web.pages[url] = {"kind": "root", "links": links}
+        return url
+
+    web.seeds = [new_root(1) for _ in range(n_seed_roots)]
+    # one dummy seed for parity with the reference's discarded Amazon seed
+    # (/root/reference/src/client/main.go:102): fetched, yields nothing.
+    dummy = "http://h0.test/dummy/0"
+    web.pages[dummy] = {"kind": "dummy"}
+    web.seeds.append(dummy)
+    return web
