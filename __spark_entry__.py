@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl-scheduler query on sf0.001;
+``queries``/``oracle_sql`` expose every SQL-expressible operator from
+SURVEY.md §2 plus the training-data-pipeline suite (dedup family,
+similarity search, text analysis) for the DuckDB side-by-side check.
+``crawl_e2e_gather`` is the genuinely non-SQL entry (iterative crawl
+rounds through the engine) and deliberately has no oracle — the driver
+records a rows-only check for it.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weaver_spark.queries import REGISTRY, host_priority_schedule  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the north-rule
+    politeness/priority scheduler window over a synthesized frontier."""
+    return host_priority_schedule(spark, "/root/testdata/sf0.001")
+
+
+def _crawl_e2e_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-SQL-expressible: run the actual crawl engine (iterative
+    rounds, mapInPandas fetch/decode, delta-log commits) on the seed-42
+    synthetic web and return the gathered payload table (minus raw bytes;
+    phash/w/h/fmt/caption are the deterministic content witness)."""
+    from pyspark.sql import functions as F
+
+    from weaver_spark.engine import CrawlEngine
+    from weaver_spark.webgen import make_web
+
+    web = make_web(seed=42, n_hosts=4, n_seed_roots=2, depth=1)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="weaver_e2e_"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    return eng.gather().select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    ).orderBy("image_id").withColumn("phash", F.col("phash").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out["crawl_e2e_gather"] = _crawl_e2e_gather
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL ops)."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

