@@ -78,34 +78,40 @@ def bench_queries(spark) -> dict[str, float]:
 
 
 def bench_crawl(spark) -> dict:
-    """Crawl throughput: seed -> rounds to exhaustion on a ~20k-URL web."""
-    from weaver_spark.engine import CrawlEngine
-    from weaver_spark.webgen import make_web
+    """Crawl throughput: seed -> rounds to exhaustion on a distributed
+    synthetic web (JVM-generated; payload pixels synthesized in the fetch
+    UDF on executors). Warehouse lives on tmpfs when available so the
+    measurement captures engine throughput, not shared-disk bandwidth."""
+    import shutil
 
-    web = make_web(
-        seed=42,
-        n_hosts=32,
-        n_seed_roots=25,
-        depth=3,
-        child_roots=4,
-        leaves_per_root=(30, 60),
+    from weaver_spark.engine import CrawlEngine
+    from weaver_spark.webgen import make_web, make_web_df
+
+    n_roots = int(os.environ.get("WEAVER_BENCH_ROOTS", "50"))
+    lpr = int(os.environ.get("WEAVER_BENCH_LEAVES_PER_ROOT", "400"))
+    seeds, web_df = make_web_df(spark, n_roots=n_roots, leaves_per_root=lpr)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="weaver_bench_", dir=base)
+    eng = CrawlEngine(spark, wh, mode="reproduction")
+    eng.set_web_df(web_df)
+
+    # warm-up: a small driver-side web crawled to exhaustion warms python
+    # workers, codegen and the whole leaf decode path before timing
+    warm_web = make_web(seed=7, n_hosts=4, n_seed_roots=2, depth=1)
+    warm = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="weaver_warm_", dir=base), mode="reproduction"
     )
-    eng = CrawlEngine(
-        spark, tempfile.mkdtemp(prefix="weaver_bench_"), mode="reproduction"
-    )
-    eng.set_web(web)
-    # warm-up: tiny crawl to JIT/import everything, then reset tables
-    warm = CrawlEngine(spark, tempfile.mkdtemp(prefix="weaver_warm_"), mode="reproduction")
-    warm.set_web(web)
-    warm.seed_urls(web.seeds[:1])
-    warm.run(max_rounds=1)
+    warm.set_web(warm_web)
+    warm.seed_urls(warm_web.seeds)
+    warm.run(max_rounds=3)
 
     t0 = time.perf_counter()
-    eng.seed_urls(web.seeds)
+    eng.seed_urls(seeds)
     stats = eng.run(max_rounds=50)
     wall = time.perf_counter() - t0
     fetched = sum(s["batch"] for s in stats)
     payloads = sum(s["payload_rows"] for s in stats)
+    shutil.rmtree(wh, ignore_errors=True)
     return {
         "urls": fetched,
         "payload_rows": payloads,
@@ -113,6 +119,7 @@ def bench_crawl(spark) -> dict:
         "seconds": round(wall, 3),
         "urls_per_sec": round(fetched / wall, 2),
         "cpus": CPUS,
+        "web": {"roots": n_roots, "leaves_per_root": lpr},
     }
 
 
@@ -142,7 +149,17 @@ def run_scaling() -> dict:
     sizes); efficiency = rate(4N) / (4 * rate(N))."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            # scaling runs need compute to dominate fixed round overhead:
+            # a 200k-leaf web gives ~300 core-seconds of decode work
+            WEAVER_BENCH_ROOTS=os.environ.get("WEAVER_BENCH_ROOTS", "400"),
+            WEAVER_BENCH_LEAVES_PER_ROOT=os.environ.get(
+                "WEAVER_BENCH_LEAVES_PER_ROOT", "500"
+            ),
+        )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             capture_output=True,

@@ -1,0 +1,47 @@
+"""dense_seq regression: sequence numbers must be exactly start..start+N-1
+(unique, order-preserving) at any partition count. Guards against the
+repartitionByRange per-execution sampling bug that minted duplicate seqs
+and silently dropped frontier rows."""
+
+from pyspark.sql import functions as F
+
+from weaver_spark.operators.ranking import dense_seq, fifo_order, topk_per_group
+
+
+def test_dense_seq_unique_and_ordered(spark):
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000003).alias("parent_seq"),
+        (F.col("id") % 97).alias("link_pos"),
+        F.col("id").alias("orig"),
+    ).where(F.lit(True))
+    # make (parent_seq, link_pos) a strict total order
+    df = df.dropDuplicates(["parent_seq", "link_pos"])
+    expected = df.count()
+    out, pin = dense_seq(df, ["parent_seq", "link_pos"], start=1000, num_partitions=16)
+    rows = out.select("parent_seq", "link_pos", "enqueue_seq").collect()
+    pin.unpersist()
+    assert len(rows) == expected
+    seqs = sorted(r["enqueue_seq"] for r in rows)
+    assert seqs == list(range(1000, 1000 + expected))  # dense, unique
+    by_seq = sorted(rows, key=lambda r: r["enqueue_seq"])
+    keys = [(r["parent_seq"], r["link_pos"]) for r in by_seq]
+    assert keys == sorted(keys)  # order-preserving
+
+
+def test_dense_seq_empty(spark):
+    df = spark.range(0).select(F.col("id").alias("a"))
+    out, pin = dense_seq(df, ["a"], start=5)
+    assert out.count() == 0
+    pin.unpersist()
+
+
+def test_topk_and_fifo(spark):
+    df = spark.createDataFrame(
+        [(g, i) for g in range(5) for i in range(10)], "g int, i int"
+    )
+    top = topk_per_group(df, ["g"], [F.col("i").desc()], 3)
+    assert top.count() == 15
+    assert {r["i"] for r in top.collect()} == {7, 8, 9}
+    ordered = [r["i"] for r in fifo_order(df.where(F.col("g") == 0), "i").collect()]
+    assert ordered == list(range(10))

@@ -133,11 +133,15 @@ def phash64(pixels: np.ndarray) -> int:
         g = np.pad(g, ((0, ph), (0, pw)), mode="edge")
     bh, bw = g.shape[0] // _DCT_N, g.shape[1] // _DCT_N
     small = g.reshape(_DCT_N, bh, _DCT_N, bw).mean(axis=(1, 3))
+    # Only the top-left 8x8 DCT block is needed: contract with the first
+    # 8 basis rows only (~100x fewer flops than the full 32x32 DCT).
     # einsum (optimize=False) stays on numpy's own deterministic loops;
     # BLAS matmul (@) reorders float reductions per thread config, which
     # flips threshold-adjacent bits between driver and executor workers.
-    dct = np.einsum("ij,jk,lk->il", _DCT_M, small, _DCT_M, optimize=False)
-    block = dct[:8, :8].flatten()
+    m8 = _DCT_M[:8]
+    tmp = np.einsum("ij,jk->ik", m8, small, optimize=False)
+    dct = np.einsum("ik,lk->il", tmp, m8, optimize=False)
+    block = dct.flatten()
     block = np.delete(block, 0)  # drop DC term
     med = np.median(block)
     bits = np.concatenate([[False], block > med])  # 64 bits, bit0 = 0

@@ -40,6 +40,10 @@ Scale notes (10^10 frontier, 1000 executors):
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +87,7 @@ class CrawlEngine:
         track_leases: bool = False,
         lease_timeout_s: int = 30,
         seed: int = 42,
+        keep_stage: bool = False,
     ):
         assert mode in ("reproduction", "scale")
         self.spark = spark
@@ -102,6 +107,8 @@ class CrawlEngine:
         self.web_pages: DataFrame | None = None
         self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
         self._next_round: int | None = None  # cached current_round()
+        self.keep_stage = keep_stage
+        self.stage_root = os.path.join(warehouse, "_stage")
 
     # -- sources ---------------------------------------------------------
 
@@ -176,6 +183,17 @@ class CrawlEngine:
 
     def run_round(self) -> dict | None:
         """Run one crawl round; returns round stats or None if drained."""
+        timing = os.environ.get("WEAVER_TIMING") == "1"
+        marks: list[tuple[str, float]] = []
+        t_last = time.perf_counter()
+
+        def mark(label: str) -> None:
+            nonlocal t_last
+            if timing:
+                now = time.perf_counter()
+                marks.append((label, round(now - t_last, 2)))
+                t_last = now
+
         spark = self.spark
         round_no = self.current_round()
         state = self.frontier.latest_state(spark).persist()
@@ -188,6 +206,7 @@ class CrawlEngine:
             ),
             F.max("enqueue_seq").alias("max_seq"),
         ).collect()[0]
+        mark("head_agg")
         if not head["n_pending"]:
             state.unpersist()
             return None
@@ -216,6 +235,7 @@ class CrawlEngine:
             F.pmod(F.col("url_hash"), F.lit(self.salt_buckets)),
         ).persist()
 
+        mark("schedule")
         lease_commit = None
         if self.track_leases:
             ucid = self.frontier.last_commit() + 1
@@ -226,7 +246,13 @@ class CrawlEngine:
             )
             lease_commit = self.frontier.append(leased, meta={"op": "lease", "round": round_no})
 
-        # fetch + parse + decode (Arrow batches on executors)
+        # fetch + parse + decode (Arrow batches on executors). Results are
+        # STAGED to parquet in one pass — the fetch-log pattern: exactly
+        # one execution of the expensive python stage per round, and all
+        # downstream consumers read pruned columns from the stage (the
+        # links pass never touches `bytes`, the stats agg reads three
+        # small columns). No multi-GB JVM caches, flat memory at any
+        # round size, no recompute hazard inside write jobs.
         pages = self.web_pages
         fetch_input = batch.select("url", "enqueue_seq", "host", "url_type").join(
             pages.select(
@@ -240,9 +266,14 @@ class CrawlEngine:
             "url",
             "left",
         )
-        results = fetch_input.mapInPandas(self._fetch_fn, FETCH_RESULT_SCHEMA).persist()
+        stage_dir = os.path.join(self.stage_root, f"r{round_no:05d}")
+        fetch_input.mapInPandas(self._fetch_fn, FETCH_RESULT_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        results = spark.read.schema(FETCH_RESULT_SCHEMA).parquet(stage_dir)
+        mark("fetch_stage")
 
-        # one stats job over the cached fetch results (drives branching too)
+        # one stats job over the staged results (drives branching too)
         agg = results.agg(
             F.count("*").alias("fetched"),
             F.sum(F.when(F.col("image_id").isNotNull(), 1).otherwise(0)).alias(
@@ -252,24 +283,32 @@ class CrawlEngine:
             F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
         ).collect()[0]
 
-        # ---- payloads -> images (storage-key dedup, first wins;
-        # reference src/storage/main.go:146-151)
-        payloads = results.where(F.col("image_id").isNotNull())
-        firsts = topk_per_group(payloads, ["image_id"], ["enqueue_seq"], 1)
-        seen_keys = self.images.read(spark).select("image_id")
-        if self.use_bloom:
-            seen_count = seen_keys.count()
-            new_images_src = antijoin_bloom(
-                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
-            )
-        else:
-            new_images_src = antijoin_exact(firsts, seen_keys, "image_id")
-        new_images = new_images_src.select(
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-        )
-        img_commit = self.images.append(new_images, meta={"op": "merge", "round": round_no})
+        mark("stats_agg")
 
-        # ---- metrics per (round, fetch partition, host)
+        # ---- payloads -> images (storage-key dedup, first wins;
+        # reference src/storage/main.go:146-151). Skipped entirely on
+        # link-only rounds — no empty commits.
+        img_commit = None
+        if agg["payload_rows"]:
+            payloads = results.where(F.col("image_id").isNotNull())
+            firsts = topk_per_group(payloads, ["image_id"], ["enqueue_seq"], 1)
+            seen_keys = self.images.read(spark).select("image_id")
+            if self.use_bloom:
+                seen_count = seen_keys.count()
+                new_images_src = antijoin_bloom(
+                    firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+                )
+            else:
+                new_images_src = antijoin_exact(firsts, seen_keys, "image_id")
+            new_images = new_images_src.select(
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+            )
+            img_commit = self.images.append(
+                new_images, meta={"op": "merge", "round": round_no}
+            )
+
+        mark("images_append")
+        # ---- metrics per (round, stage-scan partition, host)
         metrics_rows = (
             results.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id", "host")
@@ -297,8 +336,10 @@ class CrawlEngine:
         )
         met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
 
+        mark("metrics_append")
         # ---- discovered links -> new frontier rows (FIFO seq assignment)
         new_rows = None
+        seq_pin = None
         if agg["n_links"]:
             links = (
                 results.where(F.size("links") > 0)
@@ -310,7 +351,9 @@ class CrawlEngine:
             )
             kind_map = pages.select("url", "kind")
             typed = links.join(kind_map, "url", "left")
-            with_seq = dense_seq(typed, ["parent_seq", "link_pos"], start=max_seq + 1)
+            with_seq, seq_pin = dense_seq(
+                typed, ["parent_seq", "link_pos"], start=max_seq + 1
+            )
             new_rows = with_seq.select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
@@ -324,6 +367,7 @@ class CrawlEngine:
                 F.lit(0).cast("long").alias("update_seq"),  # stamped below
             )
 
+        mark("dense_seq")
         # ---- status updates for the batch
         outcomes = results.select(
             "enqueue_seq",
@@ -350,13 +394,17 @@ class CrawlEngine:
         fr_commit = self.frontier.append(
             frontier_delta, meta={"op": "round", "round": round_no}
         )
+        if seq_pin is not None:
+            seq_pin.unpersist()
 
-        # ---- lineage (round -> commit per table)
+        mark("frontier_append")
+        # ---- lineage (round -> commit per table; only commits that ran)
         lin_rows = [
-            (round_no, "images", img_commit),
             (round_no, "metrics", met_commit),
             (round_no, "frontier", fr_commit),
         ]
+        if img_commit is not None:
+            lin_rows.append((round_no, "images", img_commit))
         if lease_commit is not None:
             lin_rows.append((round_no, "frontier_lease", lease_commit))
         lin_df = self.spark.createDataFrame(
@@ -364,6 +412,7 @@ class CrawlEngine:
         ).withColumn("committed_at", F.current_timestamp())
         self.lineage.append(lin_df.select(*[f.name for f in LINEAGE_SCHEMA.fields]))
 
+        mark("lineage_append")
         stats = {
             "round": round_no,
             "batch": agg["fetched"],
@@ -371,10 +420,13 @@ class CrawlEngine:
             "failed": agg["failed"] or 0,
             "links": agg["n_links"] or 0,
         }
-        results.unpersist()
         batch.unpersist()
         state.unpersist()
+        if not self.keep_stage:
+            shutil.rmtree(stage_dir, ignore_errors=True)
         self._next_round = round_no + 1
+        if timing:
+            print(f"[timing] round {round_no}: " + " ".join(f"{k}={v}" for k, v in marks))
         return stats
 
     def run(self, max_rounds: int = 1000) -> list[dict]:

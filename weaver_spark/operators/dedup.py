@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five tiers, each a DataFrame -> DataFrame transform (no collects, no
+row-at-a-time Python). Oracled variants over the driver testdata live in
+queries.py; these are the reusable library forms over any (id, text) or
+(id, vector/phash) input.
+
+1. exact            — hash groupBy on normalized content
+2. minhash_lsh      — shingle -> minhash -> band -> bucket self-join
+3. simhash          — bit-majority hash + hamming-ball candidate pairs
+4. ngram_jaccard    — exact Jaccard verify over shingle sets
+5. embedding_cosine — cosine near-dup pairs over vectors (see
+                      similarity.py for the top-k search variants)
+
+Scale notes: every self-join here is bucketed by a band/bucket key so
+the shuffle is keyed and skew-bounded; pair explosion is controlled by
+band width (minhash), hamming radius (simhash), or a candidate prefilter
+(jaccard uses rare-shingle blocking at scale — the `max_df` knob drops
+shingles present in more than a fraction of docs, the standard trick to
+keep candidate generation near-linear).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col, ngrams_col, tokens_col
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per normalized content; first (min id) wins."""
+    fp = fingerprint_col(F.col(text_col))
+    w = df.withColumn("_fp", fp)
+    keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+
+
+def _minhash_sigs(
+    df: DataFrame, id_col: str, text_col: str, k: int, shingle_n: int
+) -> DataFrame:
+    """k minhash values per doc over word-shingle sets via xxhash64 with
+    k seeds (JVM-side, no UDF)."""
+    sh = df.select(
+        F.col(id_col), F.explode(ngrams_col(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(1000003 * i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs colliding in >=1 LSH band.
+
+    bands * rows_per_band == num_hashes; with 16 hashes in 4 bands the
+    collision threshold is ~ (1/bands)^(1/rows) ~ 0.7 Jaccard."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_n)
+    # band key = hash of the band's signature slice -> explode to
+    # (band_id, band_key, id) then self-join per band bucket
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def dedup_simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, candidate_pairs): SimHash + banded hamming blocking.
+
+    Signature: per-bit majority over token hashes. Candidates: split the
+    signature into (max_hamming+1) bands — any pair within the hamming
+    radius must agree exactly on >=1 band (pigeonhole), so a per-band
+    equality self-join finds all of them; verify with bit_count."""
+    tok = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t"))
+    h = tok.withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = h.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sigs = per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    return sigs, pairs
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: float | None = 0.5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over shingle sets.
+
+    Candidate generation blocks on shared shingles; `max_df` drops
+    shingles occurring in more than that fraction of docs (stopword
+    shingles generate quadratic candidates without adding evidence —
+    a dropped shingle only lowers measured Jaccard for pairs that were
+    below threshold anyway at web scale)."""
+    sh = df.select(
+        F.col(id_col), F.explode(ngrams_col(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    if max_df is not None:
+        n_docs = df.count()
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        keep = dfreq.where(F.col("df") <= int(max_df * n_docs)).select("sh")
+        sh = sh.join(F.broadcast(keep), "sh", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_phash_hamming(
+    df: DataFrame, id_col: str, phash_col: str = "phash", max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the multimodal dedup the crawl engine's images table feeds. Same
+    pigeonhole banding as dedup_simhash over the 64-bit phash."""
+    bits, n_bands = 64, max_hamming + 1
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(phash_col), b * band_width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = df.select(
+        F.col(id_col), F.col(phash_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, phash_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -30,20 +30,26 @@ def dense_seq(
     seq_col: str = "enqueue_seq",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Assign start, start+1, ... in the total order of ``order_cols``.
 
-    Two jobs over a pinned (persisted) range-partitioned intermediate:
+    Two jobs over a PINNED (persisted) range-partitioned intermediate:
     count per partition -> cumulative offsets (tiny driver collect, one
     row per partition) -> row_number within each partition. No global
     single-partition window, so this holds at 10^10 rows. ``order_cols``
     must be a strict total order (ties would make the result
     nondeterministic).
 
-    The returned DataFrame is computed from a persisted intermediate; the
-    caller should materialize (write/append) promptly. We unpersist after
-    the offsets collect; Spark recomputes partitions deterministically
-    because range boundaries are already fixed in the plan.
+    Returns (result, pinned): the caller MUST materialize `result`
+    (write/append) and then ``pinned.unpersist()``. The pin is
+    load-bearing correctness, not an optimization: ``repartitionByRange``
+    samples range boundaries with a per-plan-execution seed, so a fresh
+    execution of the same logical plan can assign different partition
+    ids — the collected offsets would then mint duplicate sequence
+    numbers (observed as silently dropped frontier rows). The cache pins
+    one boundary assignment across the offsets job and the output job;
+    partition-level eviction recompute reuses the existing shuffle
+    output, so it cannot resample.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -55,8 +61,6 @@ def dense_seq(
         .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    part.unpersist()  # downstream recompute is deterministic: fixed range
-    # boundaries + strict total order make pid and row_number stable.
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -73,7 +77,7 @@ def dense_seq(
         seq_col,
         (F.row_number().over(w) - 1 + offset_expr).cast("long"),
     ).drop("_pid")
-    return out
+    return out, part
 
 
 def topk_per_group(

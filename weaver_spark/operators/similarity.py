@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>), Spark-first.
+
+Two tiers for top-k cosine neighbors:
+
+- ``knn_bruteforce``: exact — queries broadcast against the corpus, dot
+  products via JVM higher-order functions (zip_with/aggregate), top-k by
+  per-query window. The correctness baseline; also the right answer when
+  |queries| is small (broadcast side) regardless of corpus size.
+- ``knn_lsh``: approximate — random-hyperplane (sign) LSH buckets both
+  sides, candidates only meet inside matching buckets, exact cosine
+  re-rank per candidate set. Multi-probe via `n_tables` independent
+  tables. The 100 TB path: corpus stays partitioned by bucket (an
+  Iceberg `bucket(N, lsh_key)` layout makes this a co-located join), and
+  recall is tuned by (n_planes, n_tables).
+
+Hyperplanes are generated deterministically from a seed — numpy on the
+driver, shipped as literal arrays into the plan (a few KB), so the JVM
+computes all projections without Python workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_col(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    Plan shape: broadcast(queries) x corpus -> per-query window top-k.
+    The cross join is explicitly broadcast on the query side: corpus
+    never shuffles, each partition streams once."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm_col(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm_col(F.col("qv")))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _lsh_bucket_col(vec: Column, planes: np.ndarray, table_id: int) -> Column:
+    """Sign-bit bucket id for one hash table: sum of 2^i over planes with
+    positive projection. Plane vectors are plan literals; all arithmetic
+    is JVM-side."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = _dot_col(vec, lit_plane)
+        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates, exact cosine re-rank.
+
+    Recall grows with n_tables (independent bucketings); cost per table
+    is |corpus|/2^n_planes candidates per query on average."""
+    from pyspark.sql import Window
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    tables = [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm_col(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm_col(F.col("qv")))
+
+    c_buckets = c.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _lsh_bucket_col(F.col("cv"), tables[t], t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("neighbor_id", "cv", "cn", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
+    q_buckets = q.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _lsh_bucket_col(F.col("qv"), tables[t], t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("query_id", "qv", "qn", F.col("bb.tbl").alias("tbl"), F.col("bb.bkt").alias("bkt"))
+
+    cands = (
+        c_buckets.join(F.broadcast(q_buckets), ["tbl", "bkt"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", _dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search
+    (evaluation helper for tuning n_planes/n_tables)."""
+    e = exact.where(F.col("rk") <= k).select("query_id", "neighbor_id")
+    a = approx.where(F.col("rk") <= k).select("query_id", "neighbor_id")
+    hit = e.join(a, ["query_id", "neighbor_id"], "left_semi").count()
+    total = e.count()
+    return hit / total if total else 1.0

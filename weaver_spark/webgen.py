@@ -121,6 +121,67 @@ def _messy(url: str, rng: np.random.Generator) -> str:
     return f"{url}#frag"
 
 
+def make_web_df(
+    spark,
+    n_roots: int = 1000,
+    leaves_per_root: int = 400,
+    n_hosts: int = 64,
+    dup_every: int = 10,
+):
+    """Distributed synthetic web: the web_pages DataFrame is generated
+    JVM-side from id ranges (no driver loop, no pixel bytes — payloads
+    are synthesized in the fetch UDF). Two-level structure: root r links
+    to leaves [r*L, (r+1)*L); every `dup_every`-th link slot points at
+    the previous leaf instead (duplicate links across the corpus).
+
+    Returns (seed_urls, web_pages_df). Used for throughput/scaling
+    benches where the graph need not fit in the driver; correctness runs
+    use make_web + the Python simulator instead.
+    """
+    from pyspark.sql import functions as F
+
+    roots = spark.range(n_roots).select(
+        F.format_string("http://h%d.test/cat/%d", F.col("id") % n_hosts, F.col("id")).alias("url"),
+        F.lit("root").alias("kind"),
+        F.transform(
+            # effective target id: every dup_every-th slot re-links the
+            # previous leaf (cross-root duplicate links)
+            F.transform(
+                F.sequence(
+                    F.col("id") * leaves_per_root,
+                    (F.col("id") + 1) * leaves_per_root - 1,
+                ),
+                lambda i: F.when((i % dup_every == 0) & (i > 0), i - 1).otherwise(i),
+            ),
+            lambda j: F.format_string(
+                "http://h%d.test/item/%d",
+                F.pmod(F.xxhash64(j.cast("string")), F.lit(n_hosts)),
+                j,
+            ),
+        ).alias("links"),
+        F.lit(None).cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+    )
+    n_leaves = n_roots * leaves_per_root
+    leaves = spark.range(n_leaves).select(
+        F.format_string(
+            "http://h%d.test/item/%d",
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_hosts)),
+            F.col("id"),
+        ).alias("url"),
+        F.lit("leaf").alias("kind"),
+        F.lit(None).cast("array<string>").alias("links"),
+        F.format_string("img_%08d", F.col("id")).alias("image_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.when(F.col("id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+        F.format_string("synthetic caption %d", F.col("id")).alias("caption"),
+    )
+    seeds = [f"http://h{r % n_hosts}.test/cat/{r}" for r in range(n_roots)]
+    return seeds, roots.unionByName(leaves)
+
+
 def make_web(
     seed: int = 42,
     n_hosts: int = 8,
