@@ -226,14 +226,7 @@ class CrawlEngine:
         else:
             batch = pending  # the whole FIFO wave (reproduction mode)
 
-        # distribute fetch work across hosts: repartition by (host, salt)
-        # so a mega-host spreads over many tasks while politeness was
-        # already enforced per host above.
-        batch = batch.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            F.col("host"),
-            F.pmod(F.col("url_hash"), F.lit(self.salt_buckets)),
-        ).persist()
+        batch = batch.persist()
 
         mark("schedule")
         lease_commit = None
@@ -266,6 +259,20 @@ class CrawlEngine:
             "url",
             "left",
         )
+        # Explicit repartition DIRECTLY before the fetch UDF, after the
+        # page join. Load-bearing: AQE sizes post-shuffle partitions from
+        # the join's tiny URL rows and would coalesce the stage to 1-4
+        # tasks — but the UDF multiplies bytes ~1000x (payload decode),
+        # so the stage must be sized by OUTPUT work, not input bytes. An
+        # explicit numPartitions repartition is exempt from AQE
+        # coalescing. Keys: (host, salt(url)) spreads mega-hosts across
+        # tasks while keeping per-host locality for connection reuse.
+        n_fetch_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        fetch_input = fetch_input.repartition(
+            n_fetch_parts,
+            F.col("host"),
+            F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
+        )
         stage_dir = os.path.join(self.stage_root, f"r{round_no:05d}")
         fetch_input.mapInPandas(self._fetch_fn, FETCH_RESULT_SCHEMA).write.mode(
             "overwrite"
@@ -290,19 +297,27 @@ class CrawlEngine:
         # link-only rounds — no empty commits.
         img_commit = None
         if agg["payload_rows"]:
-            payloads = results.where(F.col("image_id").isNotNull())
-            firsts = topk_per_group(payloads, ["image_id"], ["enqueue_seq"], 1)
+            # Narrow-first merge: dedup winners (first-wins per key) and
+            # the seen anti-join are computed on (image_id, enqueue_seq)
+            # ONLY — the 25 KB bytes column never enters a shuffle. The
+            # winner keys then semi-join back against the staged scan
+            # (AQE broadcasts them while they fit), so payload bytes are
+            # read once and written once per round, full stop.
+            payload_keys = results.where(F.col("image_id").isNotNull()).select(
+                "image_id", "enqueue_seq"
+            )
+            firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
             seen_keys = self.images.read(spark).select("image_id")
             if self.use_bloom:
                 seen_count = seen_keys.count()
-                new_images_src = antijoin_bloom(
+                winner_keys = antijoin_bloom(
                     firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
                 )
             else:
-                new_images_src = antijoin_exact(firsts, seen_keys, "image_id")
-            new_images = new_images_src.select(
-                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-            )
+                winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
+            new_images = results.join(
+                winner_keys.select("enqueue_seq"), "enqueue_seq", "left_semi"
+            ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
             img_commit = self.images.append(
                 new_images, meta={"op": "merge", "round": round_no}
             )
@@ -320,7 +335,7 @@ class CrawlEngine:
                 F.sum(
                     F.when(F.col("status_code") >= 400, 1).otherwise(0)
                 ).alias("failed"),
-                F.sum(F.coalesce(F.length("bytes"), F.lit(0))).alias("bytes"),
+                F.sum("bytes_len").alias("bytes"),
                 F.sum("fetch_ms").alias("fetch_ms_sum"),
             )
             .select(

@@ -75,6 +75,7 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                 "fmt": [None] * n,
                 "caption": [None] * n,
                 "phash": [None] * n,
+                "bytes_len": np.zeros(n, dtype="int64"),
                 "fetch_ms": np.zeros(n, dtype="int64"),
             }
             kinds = pdf["page_kind"].to_numpy(dtype=object)
@@ -99,6 +100,7 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                     out["fmt"][i] = fmt
                     out["caption"][i] = captions[i]
                     out["phash"][i] = ph
+                    out["bytes_len"][i] = len(payload)
                 # kind None (404) / "dummy": nothing extracted
                 out["fetch_ms"][i] = int((time.perf_counter() - t0) * 1000)
             res = pd.DataFrame(out)
@@ -179,6 +181,7 @@ def make_http_fetch_fn(
                         fmt,
                         caption,
                         ph,
+                        len(bytes_out) if bytes_out is not None else 0,
                         int((time.perf_counter() - t0) * 1000),
                     )
                 )
@@ -198,6 +201,7 @@ def make_http_fetch_fn(
                     "fmt",
                     "caption",
                     "phash",
+                    "bytes_len",
                     "fetch_ms",
                 ],
             )

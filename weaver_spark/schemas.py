@@ -137,6 +137,7 @@ FETCH_RESULT_SCHEMA = StructType(
         StructField("fmt", StringType(), True),
         StructField("caption", StringType(), True),
         StructField("phash", LongType(), True),
+        StructField("bytes_len", LongType(), False),  # so metrics never scan bytes
         StructField("fetch_ms", LongType(), False),
     ]
 )

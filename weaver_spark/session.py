@@ -39,19 +39,57 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # shuffle/spill dir: prefer tmpfs (set SPARK_GRAFT_LOCAL_DIR to
+    # override). Shuffle writes of image-payload rows are sequential-ish
+    # but fsync-heavy; on the sandbox's virtio disk they inject multi-
+    # second stalls that swamp small-stage timings.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size bounds peak memory of the decode UDF: at 100 TB
-        # each batch holds ~10k binary image payloads => a few hundred MB.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Batch sizes bound peak memory of binary-payload (image) columns.
+        # Two observed failure modes with the 4096 default and ~25 KB
+        # payloads: (a) 32 concurrent vectorized readers OOM an 8g heap;
+        # (b) each reader batch allocates ~25 MB byte arrays — G1
+        # "humongous" objects — whose churn escalates to multi-second
+        # stop-the-world stalls (JVM stopped answering jstack attach).
+        # 256 rows/batch keeps vectors ~6 MB, under the humongous
+        # threshold with 32 MB regions. Same math per-executor on a real
+        # cluster carrying image payloads.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ZGC + off-heap column vectors: with ~25 KB binary (image) rows,
+        # G1 degrades progressively under the vectorized reader's big
+        # array churn — the same scan went 2s -> 50s over a session
+        # (concurrent-cycle thrash; JVM even stopped answering jstack).
+        # ZGC stays flat (0.4-1.2s x10 iterations measured), and off-heap
+        # vectors take the reader allocations off the Java heap entirely.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseZGC")
+        .config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"))
+        # Shuffle compression OFF: the engine's dominant shuffle traffic
+        # is image payloads that are ALREADY PNG/JPEG-compressed, so
+        # codecs only burn CPU — and empirically the lz4 (and snappy)
+        # shuffle streams exhibit intermittent multi-10-second stalls at
+        # 32-way concurrency on large binary rows (reproduced: 4 runs of
+        # the same 580MB window+write = 7.5/3.9/4.6/52.4s with lz4 vs
+        # 7.0/1.8/1.5/2.4s uncompressed). On a network-shuffle cluster,
+        # re-enable per-job for text-dominated shuffles.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

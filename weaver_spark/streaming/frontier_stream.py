@@ -1,0 +1,113 @@
+"""Structured Streaming variants of the frontier operators.
+
+The reference is a continuously-running message system: queue Put over
+HTTP (``/root/reference/src/queue/main.go:93-103``), 1s poll ticks
+(``src/scrapper/queueService.go:149-167``), UDP re-discovery. The batch
+round engine replaces the poll loop; this module covers the *ingestion*
+side and live metrics as streams:
+
+- ``stream_enqueue``: continuous `scrap` — URL messages dropped as JSON
+  files (the HTTP-Put analogue) are canonicalized, typed, sequenced and
+  appended to the frontier delta table exactly once per micro-batch via
+  ``foreachBatch`` (each micro-batch is one atomic table commit — the
+  same exactly-once discipline as the round engine).
+- ``host_window_counts``: event-time tumbling-window per-host enqueue
+  rates with a watermark for late data (SURVEY.md T8 — absent in the
+  reference, standard for a production crawler's live dashboards).
+
+Both run with ``Trigger.availableNow`` in tests (drain-and-stop) and
+unmodified as continuous streams in production.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import CrawlEngine, _canonicalize_udf
+from ..schemas import STATUS_PENDING
+
+ENQUEUE_SCHEMA = "url STRING, url_type STRING, priority INT, ts TIMESTAMP"
+
+
+def read_enqueue_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """File-source stream of URL messages (one JSON object per line)."""
+    return (
+        spark.readStream.schema(ENQUEUE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(drop_dir)
+    )
+
+
+def stream_enqueue(
+    engine: CrawlEngine,
+    drop_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous seeding: stream -> canonicalize -> dense seq -> frontier.
+
+    Returns the StreamingQuery. Sequence numbers continue from the
+    table's current max per micro-batch; within a batch, arrival order
+    is (ts, url) — a deterministic total order for replays."""
+    spark = engine.spark
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.ranking import dense_seq
+
+        state = engine.frontier.latest_state(spark)
+        max_seq = state.agg(F.max("enqueue_seq").alias("m")).collect()[0]["m"]
+        start = (max_seq if max_seq is not None else -1) + 1
+        canon = batch_df.withColumn("url", _canonicalize_udf(F.col("url")))
+        with_seq, pin = dense_seq(canon, ["ts", "url"], start=start)
+        ucid = engine.frontier.last_commit() + 1
+        rows = with_seq.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.coalesce(F.col("url_type"), F.lit("leaf")).alias("url_type"),
+            F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+            F.lit(STATUS_PENDING).alias("status"),
+            "enqueue_seq",
+            F.lit(None).cast("timestamp").alias("lease_ts"),
+            F.lit(engine.current_round()).alias("round"),
+            F.lit(ucid).cast("long").alias("update_seq"),
+        )
+        engine.frontier.append(rows, meta={"op": "stream_enqueue", "batch": batch_id})
+        pin.unpersist()
+
+    stream = read_enqueue_stream(spark, drop_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_window_counts(
+    spark: SparkSession,
+    drop_dir: str,
+    window: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Event-time tumbling-window per-host enqueue counts with late-data
+    watermark. Caller attaches a sink (memory table in tests)."""
+    stream = read_enqueue_stream(spark, drop_dir)
+    return (
+        stream.withColumn("host", F.parse_url(_canonicalize_udf(F.col("url")), F.lit("HOST")))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "host")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n",
+        )
+    )
