@@ -76,6 +76,17 @@ class DeltaTable:
         with open(os.path.join(self._manifest_dir(), f"{cid:08d}.json")) as f:
             return json.load(f)
 
+    def find_commit(self, **meta_match) -> int | None:
+        """Latest commit whose meta contains all given key/value pairs —
+        the idempotence lookup (skip re-appending a round's metrics or a
+        replayed stream micro-batch after a crash). Driver-side manifest
+        scan: O(live commits), bounded by compaction."""
+        for cid in reversed(self.commits()):
+            meta = self._read_manifest(cid).get("meta", {})
+            if all(meta.get(k) == v for k, v in meta_match.items()):
+                return cid
+        return None
+
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         """Write df as one atomic commit; returns the commit id."""
         cid = self.last_commit() + 1

@@ -113,7 +113,12 @@ class CrawlEngine:
     # -- sources ---------------------------------------------------------
 
     def set_web(self, web: SyntheticWeb) -> None:
-        """Register the synthetic closed web as the page source."""
+        """Register the synthetic closed web as the page source. The fetch
+        UDF is rebuilt with the WEB's seed so payload bytes/phash always
+        match the simulator oracle run on the same web."""
+        if web.seed != self.seed:
+            self.seed = web.seed
+            self._fetch_fn = make_synthetic_fetch_fn(self.k_cap, web.seed)
         df = self.spark.createDataFrame(web.page_rows(), WEB_PAGES_SCHEMA)
         self.set_web_df(df)
 
@@ -125,10 +130,20 @@ class CrawlEngine:
 
     def seed_urls(self, urls: list[str]) -> int:
         """`scrap` (reference src/client/main.go:90-110): canonicalize and
-        append seeds with enqueue_seq 0..S-1 in list order."""
+        append seeds in list order. Sequence numbers continue from the
+        frontier's current max (0..S-1 on an empty table) so re-seeding a
+        live frontier can never mint colliding enqueue_seq keys."""
         canon = list(canonicalize_series(pd.Series(urls)))
         ucid = self.frontier.last_commit() + 1
-        rows = [(u, i) for i, u in enumerate(canon)]
+        start = 0
+        if ucid > 1:  # non-empty frontier: one scalar job for max seq
+            m = (
+                self.frontier.read(self.spark)
+                .agg(F.max("enqueue_seq").alias("m"))
+                .collect()[0]["m"]
+            )
+            start = (m if m is not None else -1) + 1
+        rows = [(u, start + i) for i, u in enumerate(canon)]
         df = self.spark.createDataFrame(rows, "url string, enqueue_seq long")
         kinds = self.web_pages.select("url", "kind") if self.web_pages is not None else None
         if kinds is not None:
@@ -163,13 +178,18 @@ class CrawlEngine:
             )
         )
         ucid = self.frontier.last_commit() + 1
-        updates = expired.withColumn("status", F.lit(STATUS_PENDING)).withColumn(
-            "lease_ts", F.lit(None).cast("timestamp")
-        ).withColumn("update_seq", F.lit(ucid).cast("long"))
-        if updates.isEmpty():
-            return 0
+        updates = (
+            expired.withColumn("status", F.lit(STATUS_PENDING))
+            .withColumn("lease_ts", F.lit(None).cast("timestamp"))
+            .withColumn("update_seq", F.lit(ucid).cast("long"))
+            .persist()
+        )
+        # one execution of the filter: count over the cache, then write
+        # from the cache (no commit at all when nothing expired)
         n = updates.count()
-        self.frontier.append(updates, meta={"op": "reclaim"})
+        if n:
+            self.frontier.append(updates, meta={"op": "reclaim"})
+        updates.unpersist()
         return n
 
     # -- the round ---------------------------------------------------------
@@ -196,6 +216,12 @@ class CrawlEngine:
 
         spark = self.spark
         round_no = self.current_round()
+        # lifecycle step 0 (SURVEY.md §3.1): expired leases rejoin the
+        # pending set before scheduling — crash recovery needs no manual
+        # reclaim call from the operator.
+        if self.track_leases:
+            self.reclaim_expired_leases()
+            mark("reclaim")
         state = self.frontier.latest_state(spark).persist()
         pending = state.where(F.col("status") == STATUS_PENDING)
 
@@ -349,7 +375,11 @@ class CrawlEngine:
                 "fetch_ms_sum",
             )
         )
-        met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
+        # idempotent on re-run after rollback/crash: a metrics commit for
+        # this round that already exists is reused, not duplicated
+        met_commit = self.metrics.find_commit(round=round_no)
+        if met_commit is None:
+            met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
 
         mark("metrics_append")
         # ---- discovered links -> new frontier rows (FIFO seq assignment)

@@ -596,7 +596,7 @@ def lang_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 LANG_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   COUNT(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """
@@ -648,7 +648,7 @@ WITH flagged AS (
          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
     THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 

@@ -56,6 +56,12 @@ def stream_enqueue(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # exactly-once across crash/replay: a crash between the table
+        # commit and the streaming checkpoint commit replays this batch_id
+        # — the recorded batch id in the commit meta makes the replay a
+        # no-op instead of a duplicate append.
+        if engine.frontier.find_commit(op="stream_enqueue", batch=batch_id) is not None:
+            return
         from ..operators.ranking import dense_seq
 
         state = engine.frontier.latest_state(spark)
