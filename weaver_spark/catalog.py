@@ -87,19 +87,40 @@ class DeltaTable:
                 return cid
         return None
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, meta: dict | None = None, _tombstone: bool = False
+    ) -> int:
         """Write df as one atomic commit; returns the commit id."""
         cid = self.last_commit() + 1
         token = secrets.token_hex(4)
         data_dir = os.path.join(self.root, "data", f"c{cid:08d}-{token}")
         df.write.mode("overwrite").parquet(data_dir)
         manifest = {"files": [data_dir], "meta": meta or {}}
+        if _tombstone:
+            manifest["tombstone"] = True
         tmp = os.path.join(self._manifest_dir(), f".tmp-{token}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         final = os.path.join(self._manifest_dir(), f"{cid:08d}.json")
         os.rename(tmp, final)  # POSIX-atomic pointer swap
         return cid
+
+    def delete_keys(self, keys_df: DataFrame, meta: dict | None = None) -> int:
+        """Keyed DELETE (reference DHT Del,
+        ``/root/reference/src/node/chord_interface.go:68-91``; also the
+        GDPR-purge shape): one tombstone commit holding (key, update_seq)
+        rows. ``latest_state`` drops a key whose newest record is a
+        tombstone; ``compact`` folds tombstones away; ``rollback`` past
+        the delete restores the row — exactly Iceberg v2 delete-file
+        semantics on the commit log."""
+        assert self.key is not None, "delete_keys needs a keyed table"
+        cid = self.last_commit() + 1
+        rows = (
+            keys_df.select(self.key)
+            .distinct()
+            .withColumn("update_seq", F.lit(cid).cast("long"))
+        )
+        return self.append(rows, meta={"op": "delete", **(meta or {})}, _tombstone=True)
 
     def rollback(self, commit_id: int) -> None:
         """Drop all commits after commit_id (snapshot rollback)."""
@@ -120,30 +141,97 @@ class DeltaTable:
 
     # -- reads ------------------------------------------------------------
 
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
-        """Union of all committed data (optionally as of a past commit)."""
-        dirs: list[str] = []
+    def _live_manifests(self, as_of: int | None) -> list[tuple[int, dict]]:
+        out = []
         for cid in self.commits():
             if as_of is not None and cid > as_of:
                 break
-            dirs.extend(self._read_manifest(cid)["files"])
+            out.append((cid, self._read_manifest(cid)))
+        return out
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        """Union of all committed data rows (optionally as of a past
+        commit). Tombstone commits are not data — append-only log view."""
+        dirs: list[str] = []
+        for _cid, m in self._live_manifests(as_of):
+            if not m.get("tombstone"):
+                dirs.extend(m["files"])
         if not dirs:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*dirs)
 
+    def _tombstone_schema(self) -> StructType:
+        key_field = next(f for f in self.schema.fields if f.name == self.key)
+        return StructType(
+            [key_field, next(f for f in self.schema.fields if f.name == "update_seq")]
+        )
+
     def latest_state(
         self, spark: SparkSession, as_of: int | None = None
     ) -> DataFrame:
-        """Current row per key: max(update_seq) wins (merge-on-read)."""
-        df = self.read(spark, as_of=as_of)
+        """Current row per key: max(update_seq) wins (merge-on-read), a
+        tombstone winner deletes the key.
+
+        Scale shape (the 10^10-row frontier): the log is split at the
+        last compaction boundary. The BASE (compaction output, unique per
+        key) is NEVER shuffled or windowed — it is anti-joined against
+        the delta key set, which is O(rows since compaction) and
+        broadcast-sized in a compacting deployment, so Catalyst/AQE plans
+        a broadcast anti-join with zero exchange on the base side. Only
+        the deltas go through the merge window. Without any compaction
+        the whole log is the delta set (the small-table degenerate case).
+        On a real cluster this is Iceberg MOR with a bucketed key layout;
+        the contract here is identical.
+        """
         if self.key is None:
-            return df
-        w = Window.partitionBy(self.key).orderBy(F.col("update_seq").desc())
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            return self.read(spark, as_of=as_of)
+
+        manifests = self._live_manifests(as_of)
+        base_cid = None
+        for cid, m in reversed(manifests):
+            if m.get("meta", {}).get("compaction"):
+                base_cid = cid
+                break
+        base_dirs: list[str] = []
+        delta_dirs: list[str] = []
+        tomb_dirs: list[str] = []
+        for cid, m in manifests:
+            if base_cid is not None and cid <= base_cid:
+                if cid == base_cid:
+                    base_dirs.extend(m["files"])
+                continue  # pre-base commits are retired by compact()
+            (tomb_dirs if m.get("tombstone") else delta_dirs).extend(m["files"])
+
+        base = (
+            spark.read.schema(self.schema).parquet(*base_dirs)
+            if base_dirs
+            else spark.createDataFrame([], self.schema)
         )
+        if not delta_dirs and not tomb_dirs:
+            return base
+
+        cols = [f.name for f in self.schema.fields]
+        deltas = (
+            spark.read.schema(self.schema).parquet(*delta_dirs)
+            if delta_dirs
+            else spark.createDataFrame([], self.schema)
+        ).withColumn("_tomb", F.lit(False))
+        if tomb_dirs:
+            tombs = spark.read.schema(self._tombstone_schema()).parquet(
+                *tomb_dirs
+            ).withColumn("_tomb", F.lit(True))
+            deltas = deltas.unionByName(tombs, allowMissingColumns=True)
+
+        w = Window.partitionBy(self.key).orderBy(F.col("update_seq").desc())
+        resolved = deltas.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+        live = resolved.where(~F.col("_tomb")).select(*cols)
+        if not base_dirs:
+            return live
+        delta_keys = deltas.select(self.key).distinct()
+        survivors = base.join(delta_keys, self.key, "left_anti")
+        return survivors.unionByName(live)
 
     def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
         """Fold the whole log into a single base commit (+vacuum)."""
