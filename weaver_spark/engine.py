@@ -53,6 +53,7 @@ from .catalog import Catalog, DeltaTable
 from .functions.urls import canonicalize_series
 from .operators.fetch import make_synthetic_fetch_fn
 from .operators.ranking import budget_rank, dense_seq, topk_per_group
+from .operators.robots import DELAY_CAP_COL, apply_robots
 from .operators.seen import antijoin_bloom, antijoin_exact
 from .schemas import (
     FETCH_RESULT_SCHEMA,
@@ -60,10 +61,13 @@ from .schemas import (
     IMAGES_SCHEMA,
     LINEAGE_SCHEMA,
     METRICS_SCHEMA,
+    ROBOTS_SCHEMA,
+    STATUS_BLOCKED,
     STATUS_DONE,
     STATUS_FAILED,
     STATUS_LEASED,
     STATUS_PENDING,
+    URL_TYPE_ROOT,
     WEB_PAGES_SCHEMA,
 )
 from .webgen import SyntheticWeb
@@ -72,6 +76,12 @@ from .webgen import SyntheticWeb
 @F.pandas_udf(StringType())
 def _canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls)
+
+
+def _priority_expr(kind_col):
+    """Scheduler priority from page class: root pages (link yield — they
+    grow the frontier) rank above leaves/dummies. Mirrored in sim.prio."""
+    return F.when(kind_col == URL_TYPE_ROOT, F.lit(1)).otherwise(F.lit(0))
 
 
 class CrawlEngine:
@@ -88,6 +98,8 @@ class CrawlEngine:
         lease_timeout_s: int = 30,
         seed: int = 42,
         keep_stage: bool = False,
+        round_time_budget_ms: int = 1000,
+        compact_every: int | None = None,
     ):
         assert mode in ("reproduction", "scale")
         self.spark = spark
@@ -105,9 +117,12 @@ class CrawlEngine:
         self.metrics: DeltaTable = cat.table("metrics", METRICS_SCHEMA)
         self.lineage: DeltaTable = cat.table("lineage", LINEAGE_SCHEMA)
         self.web_pages: DataFrame | None = None
+        self.robots_df: DataFrame | None = None
+        self.round_time_budget_ms = round_time_budget_ms
         self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
         self._next_round: int | None = None  # cached current_round()
         self.keep_stage = keep_stage
+        self.compact_every = compact_every
         self.stage_root = os.path.join(warehouse, "_stage")
 
     # -- sources ---------------------------------------------------------
@@ -125,6 +140,14 @@ class CrawlEngine:
     def set_web_df(self, df: DataFrame) -> None:
         self.web_pages = df.persist()
         self.web_pages.count()
+
+    def set_robots(self, rows_or_df) -> None:
+        """Install the per-host robots cache (enforced in scale mode as a
+        broadcast join at schedule time; see operators/robots.py)."""
+        if isinstance(rows_or_df, DataFrame):
+            self.robots_df = rows_or_df
+        else:
+            self.robots_df = self.spark.createDataFrame(rows_or_df, ROBOTS_SCHEMA)
 
     # -- seeding -----------------------------------------------------------
 
@@ -155,7 +178,7 @@ class CrawlEngine:
             F.xxhash64("url").alias("url_hash"),
             F.parse_url("url", F.lit("HOST")).alias("host"),
             F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
-            F.lit(0).alias("priority"),
+            _priority_expr(F.coalesce(F.col("kind"), F.lit("leaf"))).alias("priority"),
             F.lit(STATUS_PENDING).alias("status"),
             "enqueue_seq",
             F.lit(None).cast("timestamp").alias("lease_ts"),
@@ -239,16 +262,48 @@ class CrawlEngine:
         max_seq = head["max_seq"] or 0
 
         # schedule the batch
-        if self.mode == "scale" and self.host_budget is not None:
-            order = [F.col("priority").desc(), F.col("enqueue_seq").asc()]
-            batch, _deferred = budget_rank(
-                pending,
-                "host",
-                order,
-                self.host_budget,
-                salt_col=F.col("url_hash"),
-                salt_buckets=self.salt_buckets,
+        cand = pending
+        if self.mode == "scale" and self.robots_df is not None:
+            # robots enforcement: broadcast join, map-side split — the
+            # frontier never shuffles for this. Disallowed rows leave the
+            # pending set with a terminal 'blocked' status delta.
+            cand, blocked = apply_robots(
+                pending, self.robots_df, self.round_time_budget_ms
             )
+            ucid = self.frontier.last_commit() + 1
+            blocked_updates = (
+                blocked.withColumn("status", F.lit(STATUS_BLOCKED))
+                .withColumn("update_seq", F.lit(ucid).cast("long"))
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+                .persist()
+            )
+            if blocked_updates.count():
+                self.frontier.append(
+                    blocked_updates, meta={"op": "robots_block", "round": round_no}
+                )
+            blocked_updates.unpersist()
+            mark("robots")
+        if self.mode == "scale" and (
+            self.host_budget is not None or self.robots_df is not None
+        ):
+            order = [F.col("priority").desc(), F.col("enqueue_seq").asc()]
+            cap_col = (
+                F.col(DELAY_CAP_COL) if self.robots_df is not None else None
+            )
+            if self.host_budget is None and cap_col is None:
+                batch = cand
+            else:
+                batch, _deferred = budget_rank(
+                    cand,
+                    "host",
+                    order,
+                    self.host_budget,
+                    salt_col=F.col("url_hash"),
+                    salt_buckets=self.salt_buckets,
+                    cap_col=cap_col,
+                )
+            if self.robots_df is not None:
+                batch = batch.drop(DELAY_CAP_COL)
         else:
             batch = pending  # the whole FIFO wave (reproduction mode)
 
@@ -404,7 +459,9 @@ class CrawlEngine:
                 F.xxhash64("url").alias("url_hash"),
                 F.parse_url("url", F.lit("HOST")).alias("host"),
                 F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
-                F.lit(0).alias("priority"),
+                _priority_expr(F.coalesce(F.col("kind"), F.lit("leaf"))).alias(
+                    "priority"
+                ),
                 F.lit(STATUS_PENDING).alias("status"),
                 "enqueue_seq",
                 F.lit(None).cast("timestamp").alias("lease_ts"),
@@ -469,6 +526,15 @@ class CrawlEngine:
         state.unpersist()
         if not self.keep_stage:
             shutil.rmtree(stage_dir, ignore_errors=True)
+        # periodic frontier compaction: folds the delta log into a unique-
+        # per-key base so latest_state's merge window only ever spans
+        # `compact_every` rounds of deltas (catalog.py base/delta split) —
+        # the frontier itself is never windowed or shuffled again. Trades
+        # away rollback to pre-compaction rounds (Iceberg snapshot-expiry
+        # semantics), so it's opt-in.
+        if self.compact_every and (round_no + 1) % self.compact_every == 0:
+            self.frontier.compact(spark, meta={"round": round_no})
+            mark("compact")
         self._next_round = round_no + 1
         if timing:
             print(f"[timing] round {round_no}: " + " ".join(f"{k}={v}" for k, v in marks))

@@ -96,9 +96,10 @@ def budget_rank(
     df: DataFrame,
     host_col: str,
     order_cols: list[Column | str],
-    budget: int,
+    budget: int | None,
     salt_col: Column | None = None,
     salt_buckets: int = 16,
+    cap_col: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split df into (within_budget, deferred) per host.
 
@@ -106,21 +107,36 @@ def budget_rank(
     With ``salt_col`` (any stable int expression, e.g. xxhash64(url)), the
     exact rank runs only on the salted-prefilter survivors — correctness
     identical to the unsalted rank, shuffle skew bounded by salt_buckets.
+
+    The effective per-host cap is LEAST(budget, cap_col): ``budget`` is
+    the global politeness scalar, ``cap_col`` an optional per-row (really
+    per-host, e.g. from robots crawl_delay) limit; a null cap_col value
+    means uncapped for that host. At least one of the two must be set.
     """
+    if budget is not None and cap_col is not None:
+        cap = F.least(F.lit(budget), cap_col)  # least() ignores nulls
+    elif cap_col is not None:
+        cap = cap_col
+    else:
+        assert budget is not None, "budget_rank needs budget and/or cap_col"
+        cap = F.lit(budget)
+
     if salt_col is not None:
         salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(salt_buckets)))
         wpre = Window.partitionBy(host_col, "_salt").orderBy(*order_cols)
         pre = salted.withColumn("_prn", F.row_number().over(wpre))
-        survivors = pre.where(F.col("_prn") <= budget).drop("_salt", "_prn")
+        keep_pre = cap.isNull() | (F.col("_prn") <= cap)
+        survivors = pre.where(keep_pre).drop("_salt", "_prn")
         # rows eliminated by the prefilter are deferred by construction
-        pre_deferred = pre.where(F.col("_prn") > budget).drop("_salt", "_prn")
+        pre_deferred = pre.where(~keep_pre).drop("_salt", "_prn")
     else:
         survivors, pre_deferred = df, None
 
     w = Window.partitionBy(host_col).orderBy(*order_cols)
     ranked = survivors.withColumn("_rn", F.row_number().over(w))
-    within = ranked.where(F.col("_rn") <= budget).drop("_rn")
-    deferred = ranked.where(F.col("_rn") > budget).drop("_rn")
+    keep = cap.isNull() | (F.col("_rn") <= cap)
+    within = ranked.where(keep).drop("_rn")
+    deferred = ranked.where(~keep).drop("_rn")
     if pre_deferred is not None:
         deferred = deferred.unionByName(pre_deferred)
     return within, deferred

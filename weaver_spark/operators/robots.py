@@ -1,0 +1,92 @@
+"""Robots.txt cache + crawl-delay politeness (north-rule upgrade).
+
+The reference bundles a robots library but never enforces it: colly
+collectors are constructed with defaults and `IgnoreRobotsTxt` is never
+set (``/root/reference/src/scrapper/go.mod`` pulls temoto/robotstxt
+transitively; no collector in ``src/scrapper/*.go`` configures it). The
+north rule makes robots caching + per-host crawl-delay a first-class
+scheduler input, so this module implements it Spark-first:
+
+- the per-host robots config is a TABLE (``ROBOTS_SCHEMA``: host,
+  disallow_prefixes, crawl_delay_ms) — the "robots cache". At 10^10
+  frontier scale the host table is ~10^7 rows, far under the broadcast
+  threshold, so enforcement is a **broadcast join** against the pending
+  set: no shuffle of the frontier, pure map-side filtering
+  (SURVEY.md §2.3 J-row).
+- **disallow** is a JVM-side ``exists(prefixes, p -> startswith(path, p))``
+  over the parsed URL path — whole-stage-codegen, no Python.
+- **crawl-delay** becomes a per-round per-host fetch cap: a round is one
+  scheduler tick of ``round_time_budget_ms`` (default 1000 ms — the
+  reference's 1 s poll tick, ``src/scrapper/main.go:64``), so a host with
+  crawl_delay_ms=D sustains at most max(1, round_ms // D) fetches per
+  round. The cap feeds the same salted (priority, host) window as the
+  politeness budget (operators/ranking.budget_rank) — the two limits
+  compose via LEAST.
+
+The pure-Python simulator (sim.py) applies the identical rule, so robots
+enforcement is parity-tested end-to-end like every other scheduler
+feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# column added to the pending set by apply_robots: per-host per-round
+# fetch cap derived from crawl_delay_ms (null = uncapped)
+DELAY_CAP_COL = "_delay_cap"
+
+
+def delay_cap_expr(round_time_budget_ms: int = 1000):
+    """Per-round fetch cap for a host with crawl_delay_ms: at most one
+    fetch every D ms within a round_ms scheduler tick, floor 1 (a slower-
+    than-tick delay degrades to one fetch per round — the finest grain a
+    round-based scheduler can enforce)."""
+    d = F.col("crawl_delay_ms")
+    return (
+        F.when(d <= 0, F.lit(None).cast("int"))
+        .otherwise(F.greatest(F.lit(1), (F.lit(round_time_budget_ms) / d).cast("int")))
+    )
+
+
+def apply_robots(
+    pending: DataFrame,
+    robots: DataFrame,
+    round_time_budget_ms: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the pending set into (allowed, blocked) under a robots table.
+
+    ``allowed`` carries ``_delay_cap`` (int, null = no cap) for the
+    scheduler window; ``blocked`` rows matched a disallow prefix and must
+    never be fetched. The robots side is broadcast — the frontier is
+    filtered map-side with zero shuffle.
+    """
+    r = F.broadcast(
+        robots.select(
+            F.col("host").alias("_r_host"),
+            "disallow_prefixes",
+            delay_cap_expr(round_time_budget_ms).alias(DELAY_CAP_COL),
+        )
+    )
+    joined = pending.join(r, pending["host"] == r["_r_host"], "left").drop("_r_host")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    disallowed = F.coalesce(
+        F.exists("disallow_prefixes", lambda p: path.startswith(p)), F.lit(False)
+    )
+    blocked = joined.where(disallowed).drop("disallow_prefixes", DELAY_CAP_COL)
+    allowed = joined.where(~disallowed).drop("disallow_prefixes")
+    return allowed, blocked
+
+
+def sim_robots_config(rows: list[tuple], round_time_budget_ms: int = 1000) -> dict:
+    """The simulator-side mirror of apply_robots/delay_cap_expr: ROBOTS
+    rows (host, disallow_prefixes, crawl_delay_ms) -> host config dict.
+    One derivation rule, two engines (parity-tested)."""
+    cfg: dict[str, dict] = {}
+    for host, prefixes, delay_ms in rows:
+        cap = None
+        if delay_ms and delay_ms > 0:
+            cap = max(1, round_time_budget_ms // delay_ms)
+        cfg[host] = {"disallow": list(prefixes or []), "delay_cap": cap}
+    return cfg

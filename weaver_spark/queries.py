@@ -309,6 +309,100 @@ SELECT host, enqueue_seq, priority, rk FROM (
   FROM fr) WHERE rk <= 5
 """
 
+def robots_disallow_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule robots cache enforcement (operators/robots.apply_robots
+    shape): a broadcast-joined per-host disallow-prefix table filters the
+    frontier map-side — no frontier shuffle. Frontier synthesized from
+    events (host from user_id, path from event_type)."""
+    e = _t(spark, sf, "events")
+    fr = e.select(
+        F.col("event_id").alias("enqueue_seq"),
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("/"), F.col("event_type"), F.lit("/"), F.col("event_id").cast("string")
+        ).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.test", ["/click/", "/view/"]),
+            ("h3.test", ["/purchase/"]),
+            ("h5.test", ["/"]),
+        ],
+        "host string, disallow_prefixes array<string>",
+    )
+    joined = fr.join(F.broadcast(robots), "host", "left")
+    disallowed = F.coalesce(
+        F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+        F.lit(False),
+    )
+    return joined.where(~disallowed).select("host", "enqueue_seq", "path")
+
+
+ROBOTS_SQL = """
+WITH fr AS (
+  SELECT event_id AS enqueue_seq,
+    'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+    '/' || event_type || '/' || CAST(event_id AS VARCHAR) AS path
+  FROM events),
+robots AS (
+  SELECT * FROM (VALUES
+    ('h0.test', ['/click/', '/view/']),
+    ('h3.test', ['/purchase/']),
+    ('h5.test', ['/'])) AS t(host, disallow_prefixes))
+SELECT fr.host, enqueue_seq, path
+FROM fr LEFT JOIN robots ON fr.host = robots.host
+WHERE NOT COALESCE(
+  len(list_filter(disallow_prefixes, p -> starts_with(path, p))) > 0, FALSE)
+"""
+
+
+def crawl_delay_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delay politeness: per-host per-round fetch caps derived from
+    robots crawl_delay_ms via the engine's delay_cap_expr rule
+    (operators/robots.py) feeding the (priority, enqueue_seq) window —
+    the full scheduler composition of the north rule."""
+    from weaver_spark.operators.robots import delay_cap_expr
+
+    e = _t(spark, sf, "events")
+    fr = e.select(
+        F.col("event_id").alias("enqueue_seq"),
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("priority"),
+        (250 * (F.col("user_id") % 8 % 4)).cast("int").alias("crawl_delay_ms"),
+    ).withColumn("cap", delay_cap_expr(1000))
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("enqueue_seq"))
+    return (
+        fr.withColumn("rk", F.row_number().over(w))
+        .where(F.col("cap").isNull() | (F.col("rk") <= F.col("cap")))
+        .select("host", "enqueue_seq", "priority", "rk", "cap")
+    )
+
+
+CRAWL_DELAY_SQL = """
+WITH fr AS (
+  SELECT event_id AS enqueue_seq,
+    'h' || CAST(user_id % 8 AS VARCHAR) || '.test' AS host,
+    CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1 ELSE 0 END AS priority,
+    250 * (user_id % 8 % 4) AS delay_ms
+  FROM events),
+capped AS (
+  SELECT enqueue_seq, host, priority,
+    CASE WHEN delay_ms <= 0 THEN NULL
+         ELSE GREATEST(1, CAST(1000 / delay_ms AS INTEGER)) END AS cap
+  FROM fr)
+SELECT host, enqueue_seq, priority, rk, cap FROM (
+  SELECT host, enqueue_seq, priority, cap,
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, enqueue_seq) AS rk
+  FROM capped) WHERE cap IS NULL OR rk <= cap
+"""
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -414,7 +508,9 @@ FROM tok GROUP BY doc_id
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH banding: candidate pairs colliding on band (m1,m2) or (m3,m4)
     — the band->bucket-join stage of MinHash-LSH dedup."""
-    sig = minhash_signatures(spark, sf)
+    # persist: sig feeds four self-join scan legs — without the pin the
+    # tokenize+distinct+groupBy pipeline would execute up to 4x
+    sig = minhash_signatures(spark, sf).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     band1 = a.join(
@@ -555,7 +651,8 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        q.crossJoin(cand)
+        F.broadcast(q)  # tiny query side: corpus never shuffles
+        .crossJoin(cand)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
     )
@@ -669,6 +766,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "topk_links_per_page": (topk_links_per_page, TOPK_SQL),
     "politeness_budget_rank": (politeness_budget_rank, BUDGET_SQL),
     "host_priority_schedule": (host_priority_schedule, SCHEDULE_SQL),
+    "robots_disallow_filter": (robots_disallow_filter, ROBOTS_SQL),
+    "crawl_delay_schedule": (crawl_delay_schedule, CRAWL_DELAY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

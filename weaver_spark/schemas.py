@@ -47,6 +47,7 @@ STATUS_PENDING = "pending"
 STATUS_LEASED = "leased"
 STATUS_DONE = "done"
 STATUS_FAILED = "failed"
+STATUS_BLOCKED = "blocked"  # robots disallow — never fetched
 
 FRONTIER_SCHEMA = StructType(
     [

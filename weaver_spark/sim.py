@@ -47,15 +47,27 @@ class SimResult:
     statuses: list[tuple[int, str, str]] = field(default_factory=list)
     # (enqueue_seq, url, final status)
     rounds: list[list[str]] = field(default_factory=list)  # urls per wave
+    blocked: set[str] = field(default_factory=set)  # robots-disallowed urls
 
 
 def simulate_crawl(
     web: SyntheticWeb,
     k_cap: int | None = None,
     host_budget: int | None = None,
+    robots: dict | None = None,
     max_rounds: int = 10_000,
 ) -> SimResult:
-    """Run the reference-semantics crawl to frontier exhaustion."""
+    """Run the reference-semantics crawl to frontier exhaustion.
+
+    ``robots`` (operators/robots.sim_robots_config shape:
+    host -> {"disallow": [path prefixes], "delay_cap": int|None}) mirrors
+    the engine's broadcast robots enforcement: disallowed URLs leave the
+    frontier un-fetched; delay_cap bounds per-host fetches per wave and
+    composes with host_budget via min. Budget selection follows the
+    engine's scheduler order (priority DESC, enqueue_seq) where a URL's
+    priority is 1 for root pages, else 0; fetch/enqueue order within a
+    wave stays enqueue_seq (the engine enqueues children by parent seq).
+    """
     res = SimResult()
     next_seq = 0
     wave: list[tuple[int, str]] = []  # (enqueue_seq, canonical url)
@@ -67,6 +79,10 @@ def simulate_crawl(
         res.enqueue_log.append(cu)
         next_seq += 1
 
+    def prio(url: str) -> int:
+        page = web.pages.get(url)
+        return 1 if page is not None and page["kind"] == "root" else 0
+
     for s in web.seeds:
         put(s, wave)
 
@@ -74,16 +90,37 @@ def simulate_crawl(
     while wave and rounds < max_rounds:
         rounds += 1
         wave.sort(key=lambda t: t[0])  # FIFO within the wave
+        if robots:
+            kept = []
+            for seq, url in wave:
+                host = url.split("://", 1)[1].split("/", 1)[0]
+                # parse_url(url,'PATH') parity: path only, no query string
+                path = "/" + (url.split("://", 1)[1].split("/", 1) + [""])[1]
+                path = path.split("?", 1)[0]
+                cfg = robots.get(host)
+                if cfg and any(path.startswith(p) for p in cfg["disallow"]):
+                    res.blocked.add(url)
+                    res.statuses.append((seq, url, "blocked"))
+                else:
+                    kept.append((seq, url))
+            wave = kept
         spend: dict[str, int] = {}
         process: list[tuple[int, str]] = []
         defer: list[tuple[int, str]] = []
-        for seq, url in wave:
+        # selection in scheduler order: (priority DESC, enqueue_seq)
+        for seq, url in sorted(wave, key=lambda t: (-prio(t[1]), t[0])):
             host = url.split("://", 1)[1].split("/", 1)[0]
-            if host_budget is not None and spend.get(host, 0) >= host_budget:
+            cap = host_budget
+            if robots and host in robots and robots[host]["delay_cap"] is not None:
+                dcap = robots[host]["delay_cap"]
+                cap = dcap if cap is None else min(cap, dcap)
+            if cap is not None and spend.get(host, 0) >= cap:
                 defer.append((seq, url))  # keeps its enqueue_seq
             else:
                 spend[host] = spend.get(host, 0) + 1
                 process.append((seq, url))
+        process.sort(key=lambda t: t[0])  # fetch/enqueue in FIFO seq order
+        defer.sort(key=lambda t: t[0])
         next_wave: list[tuple[int, str]] = []
         round_urls: list[str] = []
         for seq, url in process:  # Pop + immediate Ack (at-most-once)

@@ -100,6 +100,24 @@ class SyntheticWeb:
         ]
 
 
+def make_robots(
+    n_hosts: int = 8,
+    disallow_hosts: tuple[int, ...] = (1, 3),
+    slow_host: int = 0,
+    crawl_delay_ms: int = 2500,
+) -> list[tuple]:
+    """Per-host robots fixture rows (ROBOTS_SCHEMA; FIXTURES.md §4):
+    a few hosts disallow /item/ (their leaves are never fetched), the
+    mega-host gets a large crawl_delay (politeness cap 1/round at the
+    default 1 s scheduler tick), the rest are unrestricted."""
+    rows = []
+    for k in range(n_hosts):
+        prefixes = ["/item/"] if k in disallow_hosts else []
+        delay = crawl_delay_ms if k == slow_host else 0
+        rows.append((f"h{k}.test", prefixes, delay))
+    return rows
+
+
 def _zipf_host(rng: np.random.Generator, n_hosts: int) -> int:
     """Host index with ~50% mass on host 0, long tail over the rest."""
     if rng.random() < 0.5:
