@@ -4,9 +4,11 @@
 ``queries``/``oracle_sql`` expose every SQL-expressible operator from
 SURVEY.md §2 plus the training-data-pipeline suite (dedup family,
 similarity search, text analysis) for the DuckDB side-by-side check.
-``crawl_e2e_gather`` is the genuinely non-SQL entry (iterative crawl
-rounds through the engine) and deliberately has no oracle — the driver
-records a rows-only check for it.
+``crawl_e2e_gather`` runs the genuinely non-SQL path (iterative crawl
+rounds through the engine); its oracle is the pure-Python reference
+simulator — ``oracle_sql`` renders the simulator's expected gather rows
+as a deterministic VALUES literal, so the driver's hash check covers the
+full engine end-to-end, not just a row count.
 """
 
 from __future__ import annotations
@@ -49,6 +51,32 @@ def _crawl_e2e_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id").withColumn("phash", F.col("phash").cast("long"))
 
 
+def _crawl_e2e_oracle_sql() -> str:
+    """The e2e oracle: run the reference-semantics simulator (sim.py) on
+    the same seed-42 web and render its expected gather output as a
+    VALUES literal DuckDB can evaluate — a real value-hash gate for the
+    iterative engine path."""
+    from weaver_spark.sim import gather, simulate_crawl
+    from weaver_spark.webgen import make_web
+
+    web = make_web(seed=42, n_hosts=4, n_seed_roots=2, depth=1)
+    rows = gather(simulate_crawl(web))
+
+    def lit(r: dict) -> str:
+        cap = r["caption"].replace("'", "''")
+        return (
+            f"('{r['image_id']}', {r['w']}, {r['h']}, '{r['fmt']}', "
+            f"'{cap}', CAST({r['phash']} AS BIGINT))"
+        )
+
+    values = ",\n  ".join(lit(r) for r in rows)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + ") AS t(image_id, w, h, fmt, caption, phash) ORDER BY image_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -59,5 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL ops)."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    """DuckDB-equivalent SQL per query."""
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    out["crawl_e2e_gather"] = _crawl_e2e_oracle_sql()
+    return out

@@ -172,7 +172,7 @@ def run_scaling() -> dict:
     r8 = results[8]["crawl"]["urls_per_sec"]
     r32 = results[32]["crawl"]["urls_per_sec"]
     eff = round(r32 / (4 * r8), 3)
-    return {
+    out = {
         "metric": "scaling_efficiency_8_to_32",
         "value": eff,
         "unit": "ratio",
@@ -183,6 +183,35 @@ def run_scaling() -> dict:
         "sf": SF_DIR,
         "queries": {},
     }
+    _write_scaling_report(out)
+    return out
+
+
+def _write_scaling_report(out: dict) -> None:
+    """BENCH/BASELINE.md: the north-rule scaling artifact (BASELINE.md
+    'Bench protocol' — sandbox stand-in for N vs 4N executors)."""
+    os.makedirs("BENCH", exist_ok=True)
+    c8, c32 = out["crawl_local8"], out["crawl_local32"]
+    eff = out["value"]
+    verdict = "MEETS" if eff >= 0.8 else "BELOW"
+    md = f"""# BENCH/BASELINE — scaling efficiency (north rule)
+
+Protocol: the same crawl job (seed -> rounds to frontier exhaustion on a
+{c8["web"]["roots"]}x{c8["web"]["leaves_per_root"]} synthetic web, image
+payload decode in the fetch UDF, delta-log commits) run in two fresh
+subprocesses at `local[8]` and `local[32]` — the sandbox stand-in for N
+and 4N executors (BASELINE.md bench protocol; no real cluster here).
+
+| parallelism | URLs | rounds | seconds | URLs/sec |
+|---|---|---|---|---|
+| local[8]  (N)  | {c8["urls"]} | {c8["rounds"]} | {c8["seconds"]} | {c8["urls_per_sec"]} |
+| local[32] (4N) | {c32["urls"]} | {c32["rounds"]} | {c32["seconds"]} | {c32["urls_per_sec"]} |
+
+**Scaling efficiency = rate(32) / (4 x rate(8)) = {eff}** — {verdict}
+the north-rule target (>= 0.8).
+"""
+    with open(os.path.join("BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
 
 
 def main() -> None:

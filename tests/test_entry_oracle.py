@@ -23,7 +23,8 @@ def test_registry_consistency():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert "crawl_e2e_gather" in q and "crawl_e2e_gather" not in o
+    # the e2e gets a simulator-derived VALUES oracle (full hash gate)
+    assert "crawl_e2e_gather" in q and "crawl_e2e_gather" in o
 
 
 @pytest.mark.parametrize("name", _ORACLED)

@@ -120,90 +120,103 @@ def make_http_fetch_fn(
     link_selector_re: str = r'href="([^"]+)"',
     timeout_s: float = 10.0,
     max_retries: int = 5,
+    max_concurrency: int = 16,
+    backoff_base_s: float = 1.0,
+    opener=None,
 ):
     """Production-shaped HTTP fetcher (reference retryVisit semantics:
     5 attempts, 2^i s backoff — ``amazonRootHandler.go:14-26``).
 
-    Parses links with a regex dispatch table (the CSS-selector analogue,
-    U1 registry); payload pages return raw bytes for a downstream decode
-    stage. Untested in the sandbox (no network) — provided as the swap-in
-    production path with the identical output schema.
+    Network I/O is the one place thread concurrency inside mapInPandas is
+    exactly right: each Arrow batch is fetched through a bounded
+    ThreadPoolExecutor (``max_concurrency`` sockets per python worker —
+    total cluster fan-out = workers x concurrency, which is what the
+    per-host politeness scheduler upstream budgets for). HTTP 4xx/5xx are
+    responses, not failures (no retry); connection errors retry with the
+    reference's 2^i backoff. Parsing: links via a regex dispatch table
+    (the CSS-selector analogue, U1 registry), payload pages through the
+    image codec. ``opener(url, timeout) -> response`` is injectable so
+    tests run against a local http.server without monkeypatching.
     """
     import re
+    import urllib.error
     import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
 
     link_re = re.compile(link_selector_re)
+    _open = opener or (
+        lambda url, timeout: urllib.request.urlopen(url, timeout=timeout)
+    )
 
-    def fetch_one(url: str) -> tuple[int, bytes]:
+    def fetch_one(url: str) -> tuple[int, bytes, int]:
+        t0 = time.perf_counter()
         for attempt in range(max_retries):
             try:
-                with urllib.request.urlopen(url, timeout=timeout_s) as r:
-                    return r.status, r.read()
+                with _open(url, timeout_s) as r:
+                    body = r.read()
+                    return r.status, body, int((time.perf_counter() - t0) * 1000)
+            except urllib.error.HTTPError as e:
+                # a status line IS an answer — 404 is not a flaky socket
+                return e.code, b"", int((time.perf_counter() - t0) * 1000)
             except Exception:
                 if attempt == max_retries - 1:
-                    return 599, b""
-                time.sleep(min(2.0**attempt, 30.0))
-        return 599, b""
+                    break
+                time.sleep(min(backoff_base_s * (2.0**attempt), 30.0))
+        return 599, b"", int((time.perf_counter() - t0) * 1000)
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                t0 = time.perf_counter()
-                status, body = fetch_one(r["url"])
-                links = None
-                image_id = bytes_out = w = h = fmt = caption = ph = None
-                if status == 200 and r["url_type"] == URL_TYPE_ROOT:
-                    links = link_re.findall(body.decode("utf-8", "replace"))
-                    if k_cap is not None:
-                        links = links[:k_cap]
-                elif status == 200:
-                    image_id = r["url"]
-                    bytes_out = body
-                    try:
-                        px = decode_image(body)
-                        h_, w_ = px.shape[:2]
-                        w, h, fmt, ph = w_, h_, "png", phash64(px)
-                    except Exception:
-                        fmt = "raw"
-                rows.append(
-                    (
-                        r["url"],
-                        r["enqueue_seq"],
-                        r["host"],
-                        r["url_type"],
-                        status,
-                        links,
-                        image_id,
-                        bytes_out,
-                        w,
-                        h,
-                        fmt,
-                        caption,
-                        ph,
-                        len(bytes_out) if bytes_out is not None else 0,
-                        int((time.perf_counter() - t0) * 1000),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url",
-                    "enqueue_seq",
-                    "host",
-                    "url_type",
-                    "status_code",
-                    "links",
-                    "image_id",
-                    "bytes",
-                    "w",
-                    "h",
-                    "fmt",
-                    "caption",
-                    "phash",
-                    "bytes_len",
-                    "fetch_ms",
-                ],
-            )
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                n = len(pdf)
+                urls = pdf["url"].tolist()
+                url_types = pdf["url_type"].tolist()
+                fetched = list(pool.map(fetch_one, urls))
+                out = {
+                    "url": pdf["url"],
+                    "enqueue_seq": pdf["enqueue_seq"],
+                    "host": pdf["host"],
+                    "url_type": pdf["url_type"],
+                    "status_code": np.array(
+                        [s for s, _, _ in fetched], dtype="int32"
+                    ),
+                    "links": [None] * n,
+                    "image_id": [None] * n,
+                    "bytes": [None] * n,
+                    "w": [None] * n,
+                    "h": [None] * n,
+                    "fmt": [None] * n,
+                    "caption": [None] * n,
+                    "phash": [None] * n,
+                    "bytes_len": np.zeros(n, dtype="int64"),
+                    "fetch_ms": np.array(
+                        [ms for _, _, ms in fetched], dtype="int64"
+                    ),
+                }
+                for i, (status, body, _ms) in enumerate(fetched):
+                    if status != 200:
+                        continue
+                    if url_types[i] == URL_TYPE_ROOT:
+                        links = link_re.findall(body.decode("utf-8", "replace"))
+                        if k_cap is not None:
+                            links = links[:k_cap]
+                        out["links"][i] = links
+                    else:
+                        out["image_id"][i] = urls[i]
+                        out["bytes"][i] = body
+                        out["bytes_len"][i] = len(body)
+                        try:
+                            px = decode_image(body)
+                            h_, w_ = px.shape[:2]
+                            out["w"][i] = w_
+                            out["h"][i] = h_
+                            out["fmt"][i] = "png"
+                            out["phash"][i] = phash64(px)
+                        except Exception:
+                            out["fmt"][i] = "raw"
+                res = pd.DataFrame(out)
+                res["w"] = res["w"].astype("Int32")
+                res["h"] = res["h"].astype("Int32")
+                res["phash"] = pd.array(out["phash"], dtype="Int64")
+                yield res
 
     return fetch_fn
