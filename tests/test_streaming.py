@@ -31,7 +31,7 @@ def test_stream_enqueue_appends_frontier(spark, tmp_path):
         ],
     )
     q = stream_enqueue(eng, drop, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     state = eng.frontier.latest_state(spark).orderBy("enqueue_seq").collect()
     assert [r["url"] for r in state] == [
         "http://h2.test/cat/0",  # earlier ts -> lower seq
@@ -45,11 +45,59 @@ def test_stream_enqueue_appends_frontier(spark, tmp_path):
         {"url": "http://h3.test/item/9", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:01:00Z"},
     ])
     q2 = stream_enqueue(eng, drop, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(240), "stream did not drain in time"
     state = eng.frontier.latest_state(spark).orderBy("enqueue_seq").collect()
     assert len(state) == 3
     assert state[2]["url"] == "http://h3.test/item/9"
     assert state[2]["enqueue_seq"] == 2
+
+
+def test_host_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: session counts match the batch
+    gap rule, and state survives a stream restart via the checkpoint."""
+    from weaver_spark.streaming.frontier_stream import host_sessionize_stream
+
+    drop = str(tmp_path / "drop3")
+    ckpt = str(tmp_path / "ckpt3")
+    # h0: events at 0s,5s,100s -> 2 sessions; h1: 0s -> 1 session
+    _drop(drop, "s1.jsonl", [
+        {"url": "http://h0.test/item/1", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:00:00Z"},
+        {"url": "http://h0.test/item/2", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:00:05Z"},
+        {"url": "http://h0.test/item/3", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:01:40Z"},
+        {"url": "http://h1.test/item/4", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:00:00Z"},
+    ])
+
+    def run(_name):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and checkpoint recovery is exactly what the second
+        # run asserts (state survival across restart)
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        q = (
+            host_sessionize_stream(spark, drop, gap_s=30)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "stream did not drain in time"
+        return {r["host"]: (r["n_sessions"], r["n_events"]) for r in rows}
+
+    got = run("sess1")
+    assert got == {"h0.test": (2, 3), "h1.test": (1, 1)}
+
+    # restart with new data: h0 continues its last session (gap 5s),
+    # h1 opens a second session (gap 10min) — state restored from ckpt
+    _drop(drop, "s2.jsonl", [
+        {"url": "http://h0.test/item/5", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:01:45Z"},
+        {"url": "http://h1.test/item/6", "url_type": "leaf", "priority": 0, "ts": "2024-01-01T00:10:00Z"},
+    ])
+    got = run("sess2")
+    assert got == {"h0.test": (2, 4), "h1.test": (2, 2)}
 
 
 def test_host_window_counts_watermark(spark, tmp_path):

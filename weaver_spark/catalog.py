@@ -87,6 +87,14 @@ class DeltaTable:
                 return cid
         return None
 
+    def _write_manifest(self, cid: int, manifest: dict) -> None:
+        token = secrets.token_hex(4)
+        tmp = os.path.join(self._manifest_dir(), f".tmp-{token}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(self._manifest_dir(), f"{cid:08d}.json")
+        os.rename(tmp, final)  # POSIX-atomic pointer swap
+
     def append(
         self, df: DataFrame, meta: dict | None = None, _tombstone: bool = False
     ) -> int:
@@ -98,11 +106,23 @@ class DeltaTable:
         manifest = {"files": [data_dir], "meta": meta or {}}
         if _tombstone:
             manifest["tombstone"] = True
-        tmp = os.path.join(self._manifest_dir(), f".tmp-{token}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        final = os.path.join(self._manifest_dir(), f"{cid:08d}.json")
-        os.rename(tmp, final)  # POSIX-atomic pointer swap
+        self._write_manifest(cid, manifest)
+        return cid
+
+    def adopt(self, src_dir: str, meta: dict | None = None) -> int:
+        """Metadata-only commit of an EXISTING parquet directory (Iceberg
+        ``add_files``): the directory is renamed into the table's data
+        area (same-filesystem rename — zero bytes copied) and registered
+        by a manifest. This is how payload bytes enter the images table
+        without ever being rewritten: at 100 TB, re-encoding the fetch
+        stage's output into a second parquet copy IS the bottleneck, and
+        adoption removes it. The files may carry extra columns beyond the
+        table schema; readers prune by name."""
+        cid = self.last_commit() + 1
+        token = secrets.token_hex(4)
+        data_dir = os.path.join(self.root, "data", f"c{cid:08d}-{token}")
+        os.rename(src_dir, data_dir)
+        self._write_manifest(cid, {"files": [data_dir], "meta": meta or {}})
         return cid
 
     def delete_keys(self, keys_df: DataFrame, meta: dict | None = None) -> int:

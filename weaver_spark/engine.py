@@ -62,6 +62,8 @@ from .schemas import (
     LINEAGE_SCHEMA,
     METRICS_SCHEMA,
     ROBOTS_SCHEMA,
+    SINK_PAYLOAD,
+    STAGE_SCHEMA,
     STATUS_BLOCKED,
     STATUS_DONE,
     STATUS_FAILED,
@@ -340,6 +342,34 @@ class CrawlEngine:
             "url",
             "left",
         )
+        # Pre-fetch payload dedup (J1/S6/F8, moved AHEAD of the fetch):
+        # payload keys are known before fetching (the page join provides
+        # image_id; in the http path the key is the URL itself), so
+        # first-wins-per-key + the seen anti-join run on (enqueue_seq,
+        # image_id) KEYS ONLY, and the verdict rides into the fetch UDF
+        # as a boolean. Winners materialize payload bytes into the
+        # stage's sink=p partition; losers are still fetched (status,
+        # links, metrics — the reference frontier has no URL dedup) but
+        # never generate/carry bytes. Consequence at 100 TB: payload
+        # bytes are written EXACTLY ONCE — the images commit adopts the
+        # sink=p files verbatim (catalog.adopt), nothing re-encodes them.
+        payload_keys = fetch_input.where(
+            F.col("page_image_id").isNotNull()
+        ).select("enqueue_seq", F.col("page_image_id").alias("image_id"))
+        firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
+        seen_keys = self.images.read(spark).select("image_id")
+        if self.use_bloom:
+            seen_count = seen_keys.count()
+            winner_keys = antijoin_bloom(
+                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+            )
+        else:
+            winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
+        fetch_input = fetch_input.join(
+            winner_keys.select("enqueue_seq").withColumn("_store", F.lit(True)),
+            "enqueue_seq",
+            "left",
+        )
         # Explicit repartition DIRECTLY before the fetch UDF, after the
         # page join. Load-bearing: AQE sizes post-shuffle partitions from
         # the join's tiny URL rows and would coalesce the stage to 1-4
@@ -355,10 +385,30 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
         )
         stage_dir = os.path.join(self.stage_root, f"r{round_no:05d}")
-        fetch_input.mapInPandas(self._fetch_fn, FETCH_RESULT_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
-        results = spark.read.schema(FETCH_RESULT_SCHEMA).parquet(stage_dir)
+        # dictionary encoding off: the dominant stage bytes are unique
+        # 10-25 KB image payloads — parquet dictionary building hashes
+        # every blob for zero dedup value, pure CPU burn at 32-way.
+        # block.size 8 MB: the default 128 MB row group grows a >100 MB
+        # binary column-chunk buffer per task — G1 humongous allocations
+        # (threshold 16 MB at 32 MB regions) that stall all 32 writers;
+        # small row groups keep writer buffers in normal regions.
+        fetch_input.mapInPandas(self._fetch_fn, STAGE_SCHEMA).write.partitionBy(
+            "sink"
+        ).option("parquet.enable.dictionary", "false").option(
+            "parquet.block.size", str(8 * 1024 * 1024)
+        ).mode("overwrite").parquet(stage_dir)
+        leaf_dirs = sorted(
+            os.path.join(stage_dir, d)
+            for d in os.listdir(stage_dir)
+            if d.startswith("sink=")
+        )
+
+        def _read_results(dirs: list[str]) -> DataFrame:
+            if not dirs:
+                return spark.createDataFrame([], FETCH_RESULT_SCHEMA)
+            return spark.read.schema(FETCH_RESULT_SCHEMA).parquet(*dirs)
+
+        results = _read_results(leaf_dirs)
         mark("fetch_stage")
 
         # one stats job over the staged results (drives branching too)
@@ -373,37 +423,31 @@ class CrawlEngine:
 
         mark("stats_agg")
 
-        # ---- payloads -> images (storage-key dedup, first wins;
-        # reference src/storage/main.go:146-151). Skipped entirely on
-        # link-only rounds — no empty commits.
+        # ---- payloads -> images: ADOPT the stage's sink=p files
+        # (storage-key dedup already happened pre-fetch, first wins —
+        # reference src/storage/main.go:146-151). A metadata-only commit:
+        # no payload byte is read or rewritten. Skipped entirely on
+        # link-only rounds — no empty commits. Crash-safe in both
+        # directions: adopt-then-crash re-runs the round with those keys
+        # now in the seen set (no winners, no payload regeneration);
+        # crash-before-adopt leaves only the stage, which the re-run
+        # overwrites.
         img_commit = None
-        if agg["payload_rows"]:
-            # Narrow-first merge: dedup winners (first-wins per key) and
-            # the seen anti-join are computed on (image_id, enqueue_seq)
-            # ONLY — the 25 KB bytes column never enters a shuffle. The
-            # winner keys then semi-join back against the staged scan
-            # (AQE broadcasts them while they fit), so payload bytes are
-            # read once and written once per round, full stop.
-            payload_keys = results.where(F.col("image_id").isNotNull()).select(
-                "image_id", "enqueue_seq"
+        p_dir = os.path.join(stage_dir, f"sink={SINK_PAYLOAD}")
+        adopted_dir = None
+        if os.path.isdir(p_dir):
+            img_commit = self.images.adopt(
+                p_dir, meta={"op": "merge", "round": round_no}
             )
-            firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
-            seen_keys = self.images.read(spark).select("image_id")
-            if self.use_bloom:
-                seen_count = seen_keys.count()
-                winner_keys = antijoin_bloom(
-                    firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
-                )
-            else:
-                winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
-            new_images = results.join(
-                winner_keys.select("enqueue_seq"), "enqueue_seq", "left_semi"
-            ).select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-            img_commit = self.images.append(
-                new_images, meta={"op": "merge", "round": round_no}
-            )
+            adopted_dir = self.images._read_manifest(img_commit)["files"][0]
+        # the adoption MOVED sink=p: rebind downstream consumers to the
+        # surviving locations (same rows, new paths)
+        meta_dirs = [d for d in leaf_dirs if d != p_dir]
+        if adopted_dir is not None:
+            meta_dirs.append(adopted_dir)
+        results = _read_results(meta_dirs)
 
-        mark("images_append")
+        mark("images_adopt")
         # ---- metrics per (round, stage-scan partition, host)
         metrics_rows = (
             results.withColumn("partition_id", F.spark_partition_id())

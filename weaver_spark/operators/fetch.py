@@ -77,11 +77,19 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                 "phash": [None] * n,
                 "bytes_len": np.zeros(n, dtype="int64"),
                 "fetch_ms": np.zeros(n, dtype="int64"),
+                "sink": ["m"] * n,
             }
             kinds = pdf["page_kind"].to_numpy(dtype=object)
             links_col = pdf["page_links"].to_numpy(dtype=object)
             image_ids = pdf["page_image_id"].to_numpy(dtype=object)
             captions = pdf["page_caption"].to_numpy(dtype=object)
+            # pre-fetch dedup verdict (engine winner anti-join): only
+            # winner rows materialize payload bytes — losers are still
+            # fetched (status/metrics) but skip generation entirely
+            if "_store" in pdf.columns:
+                stores = pdf["_store"].fillna(False).to_numpy(dtype=bool)
+            else:
+                stores = np.ones(n, dtype=bool)
             for i in range(n):
                 t0 = time.perf_counter()
                 kind = kinds[i]
@@ -92,15 +100,17 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                     out["links"][i] = links
                 elif kind == "leaf":
                     iid = image_ids[i]
-                    payload, w, h, fmt, ph = gen_payload(iid, seed)
                     out["image_id"][i] = iid
-                    out["bytes"][i] = payload
-                    out["w"][i] = w
-                    out["h"][i] = h
-                    out["fmt"][i] = fmt
                     out["caption"][i] = captions[i]
-                    out["phash"][i] = ph
-                    out["bytes_len"][i] = len(payload)
+                    if stores[i]:
+                        payload, w, h, fmt, ph = gen_payload(iid, seed)
+                        out["bytes"][i] = payload
+                        out["w"][i] = w
+                        out["h"][i] = h
+                        out["fmt"][i] = fmt
+                        out["phash"][i] = ph
+                        out["bytes_len"][i] = len(payload)
+                        out["sink"][i] = "p"
                 # kind None (404) / "dummy": nothing extracted
                 out["fetch_ms"][i] = int((time.perf_counter() - t0) * 1000)
             res = pd.DataFrame(out)
@@ -191,7 +201,12 @@ def make_http_fetch_fn(
                     "fetch_ms": np.array(
                         [ms for _, _, ms in fetched], dtype="int64"
                     ),
+                    "sink": ["m"] * n,
                 }
+                if "_store" in pdf.columns:
+                    stores = pdf["_store"].fillna(False).to_numpy(dtype=bool)
+                else:
+                    stores = np.ones(n, dtype=bool)
                 for i, (status, body, _ms) in enumerate(fetched):
                     if status != 200:
                         continue
@@ -202,8 +217,11 @@ def make_http_fetch_fn(
                         out["links"][i] = links
                     else:
                         out["image_id"][i] = urls[i]
+                        if not stores[i]:
+                            continue  # dedup loser: fetched, not stored
                         out["bytes"][i] = body
                         out["bytes_len"][i] = len(body)
+                        out["sink"][i] = "p"
                         try:
                             px = decode_image(body)
                             h_, w_ = px.shape[:2]

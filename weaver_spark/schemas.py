@@ -122,7 +122,11 @@ LINEAGE_SCHEMA = StructType(
 )
 
 # Output of the fetch/parse mapInPandas stage, before splitting into
-# links -> frontier and payloads -> images.
+# links -> frontier and payloads -> images. The stage is WRITTEN
+# partitioned by `sink` (STAGE_SCHEMA below): rows that materialized
+# payload bytes land in sink=p, everything else in sink=m — so the
+# images commit can adopt the sink=p files verbatim (catalog.adopt)
+# instead of rewriting the payload bytes.
 FETCH_RESULT_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -141,4 +145,11 @@ FETCH_RESULT_SCHEMA = StructType(
         StructField("bytes_len", LongType(), False),  # so metrics never scan bytes
         StructField("fetch_ms", LongType(), False),
     ]
+)
+
+SINK_PAYLOAD = "p"
+SINK_META = "m"
+
+STAGE_SCHEMA = StructType(
+    FETCH_RESULT_SCHEMA.fields + [StructField("sink", StringType(), False)]
 )

@@ -69,14 +69,29 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # ZGC + off-heap column vectors: with ~25 KB binary (image) rows,
-        # G1 degrades progressively under the vectorized reader's big
-        # array churn — the same scan went 2s -> 50s over a session
-        # (concurrent-cycle thrash; JVM even stopped answering jstack).
-        # ZGC stays flat (0.4-1.2s x10 iterations measured), and off-heap
-        # vectors take the reader allocations off the Java heap entirely.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseZGC")
+        # GC: G1 with 32 MB regions. History: round 1 moved to ZGC after
+        # G1 humongous-object churn degraded the payload scan (2s -> 50s
+        # over a session). Round 2 removed the churn source structurally
+        # (payload bytes are written once and adopted, never re-read in
+        # the hot loop) and re-measured: Java 17's non-generational ZGC
+        # then became the bottleneck — allocation stalls froze unrelated
+        # 4-row commits for 10-30 s (200k-URL crawl: 232 s under ZGC vs
+        # 91 s under G1-32m, same code). 32 MB regions keep the ~6 MB
+        # arrow/parquet buffers far below the humongous threshold.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_GC_OPTS",
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m -XX:+ParallelRefProcEnabled",
+            ),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_GC_OPTS",
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m -XX:+ParallelRefProcEnabled",
+            ),
+        )
         .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.memory.offHeap.enabled", "true")
         .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"))

@@ -96,6 +96,57 @@ def stream_enqueue(
     return writer.start()
 
 
+def host_sessionize_stream(
+    spark: SparkSession, drop_dir: str, gap_s: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator: per-host enqueue *sessions*
+    via ``applyInPandasWithState`` — the arbitrary-state upgrade path the
+    north rule's live-crawler side needs (burst detection / per-host
+    activity sessions), and the one operator class Spark's built-in
+    windowed aggs can't express (state = open-session bookkeeping that
+    must survive micro-batches AND stream restarts via the checkpoint).
+
+    State per host: (n_sessions, last_event_us, n_events). An event
+    starting more than ``gap_s`` after the previous one opens a new
+    session — identical semantics to the batch ``sessionize`` query
+    (queries.py), which doubles as its oracle in tests.
+    """
+    stream = read_enqueue_stream(spark, drop_dir)
+    events = stream.withColumn(
+        "host", F.parse_url(_canonicalize_udf(F.col("url")), F.lit("HOST"))
+    ).select("host", "ts")
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state):
+        (host,) = key
+        if state.exists:
+            n_sessions, last_us, n_events = state.get
+        else:
+            n_sessions, last_us, n_events = 0, None, 0
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+        for us in sorted(ts_us):
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((n_sessions, last_us, n_events))
+        yield pd.DataFrame(
+            [{"host": host, "n_sessions": n_sessions, "n_events": n_events}]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("host").applyInPandasWithState(
+        fn,
+        "host string, n_sessions long, n_events long",
+        "n_sessions long, last_us long, n_events long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def host_window_counts(
     spark: SparkSession,
     drop_dir: str,
