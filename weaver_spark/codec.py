@@ -76,15 +76,20 @@ def png_decode(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+def quantize_lossy(pixels: np.ndarray) -> np.ndarray:
+    """The lossy fmt's quantizer, pure uint8 arithmetic (step 4 keeps the
+    max at 252+2=254 — no overflow, no int32 temporaries). Decode of the
+    lossy container returns exactly these pixels (quantize-then-lossless-
+    pack), so phash-after-quantize == phash-after-decode."""
+    return pixels // _LOSSY_STEP * _LOSSY_STEP + _LOSSY_STEP // 2
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     """fmt='png' => lossless; fmt='jpeg' => deterministic lossy stand-in."""
     if fmt == "png":
         return png_encode(pixels)
     if fmt == "jpeg":
-        q = (pixels.astype(np.int32) // _LOSSY_STEP * _LOSSY_STEP + _LOSSY_STEP // 2).clip(
-            0, 255
-        )
-        return b"WJPG" + png_encode(q.astype(np.uint8))
+        return b"WJPG" + png_encode(quantize_lossy(pixels))
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -117,6 +122,8 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT_M = _dct_matrix(_DCT_N)
+_DCT_M32 = _DCT_M.astype(np.float32)
+_GRAY_W32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -124,27 +131,32 @@ def phash64(pixels: np.ndarray) -> int:
 
     Grayscale -> 32x32 average-pool resize -> 2D DCT -> top-left 8x8 (minus
     DC) -> threshold at median -> 64 bits. Pure numpy, deterministic.
+
+    Whole pipeline is float32: the hash thresholds at the median of 63
+    well-separated DCT coefficients, so float32 vs float64 flips zero bits
+    (asserted in tests on the generator's full side range), and the
+    grayscale temporary is the fetch stage's single biggest allocation —
+    halving it is a direct DRAM-bandwidth win at 32-way occupancy.
     """
-    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # einsum (optimize=False) stays on numpy's own deterministic loops;
+    # BLAS matmul (@) reorders float reductions per thread config, which
+    # flips threshold-adjacent bits between driver and executor workers.
+    g = np.einsum("ijk,k->ij", pixels, _GRAY_W32, optimize=False)
     h, w = g.shape
     # average-pool to 32x32 (pad to a multiple first)
     ph, pw = (-h) % _DCT_N, (-w) % _DCT_N
     if ph or pw:
         g = np.pad(g, ((0, ph), (0, pw)), mode="edge")
     bh, bw = g.shape[0] // _DCT_N, g.shape[1] // _DCT_N
-    small = g.reshape(_DCT_N, bh, _DCT_N, bw).mean(axis=(1, 3))
+    small = g.reshape(_DCT_N, bh, _DCT_N, bw).mean(axis=(1, 3), dtype=np.float32)
     # Only the top-left 8x8 DCT block is needed: contract with the first
     # 8 basis rows only (~100x fewer flops than the full 32x32 DCT).
-    # einsum (optimize=False) stays on numpy's own deterministic loops;
-    # BLAS matmul (@) reorders float reductions per thread config, which
-    # flips threshold-adjacent bits between driver and executor workers.
-    m8 = _DCT_M[:8]
+    m8 = _DCT_M32[:8]
     tmp = np.einsum("ij,jk->ik", m8, small, optimize=False)
     dct = np.einsum("ik,lk->il", tmp, m8, optimize=False)
-    block = dct.flatten()
-    block = np.delete(block, 0)  # drop DC term
+    block = dct.flatten()[1:]  # drop DC term
     med = np.median(block)
-    bits = np.concatenate([[False], block > med])  # 64 bits, bit0 = 0
+    bits = block > med  # 63 bits; the implicit leading DC bit is 0
     val = 0
     for b in bits:
         val = (val << 1) | int(b)

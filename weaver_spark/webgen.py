@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .codec import decode_image, encode_image, phash64
+from .codec import phash64, png_encode, quantize_lossy
 
 _FMTS = ("png", "jpeg")
 
@@ -42,36 +42,56 @@ def image_caption(image_id: str, host: str) -> str:
     return f"synthetic caption {i} for host {host}"
 
 
+# Base gradient depends only on `side` (5 distinct values) — cached, so the
+# per-image work is one float32 noise draw + in-place add/clip. The fetch UDF
+# is memory-bandwidth-bound at 32-way occupancy (BENCH/BASELINE.md); float32
+# everywhere + zero redundant temporaries is what the N→4N scaling ratio
+# actually responds to, not CPU micro-optimizations.
+_BASE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _base_gradient(side: int) -> np.ndarray:
+    b = _BASE_CACHE.get(side)
+    if b is None:
+        xx = np.arange(side, dtype=np.float32)
+        yy = xx[:, None]
+        b = np.empty((side, side, 3), np.float32)
+        b[..., 0] = xx * np.float32(255.0 / side)
+        b[..., 1] = yy * np.float32(255.0 / side)
+        b[..., 2] = (xx + yy) * np.float32(255.0 / (2 * side))
+        _BASE_CACHE[side] = b
+    return b
+
+
 def gen_pixels(image_id: str, seed: int = 42) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 pixels for an image_id."""
     i = int(image_id.split("_")[1])
     rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
     side = 32 + (i % 5) * 16  # 32..96
-    yy, xx = np.mgrid[0:side, 0:side]
-    base = np.stack(
-        [
-            (xx * 255 / side),
-            (yy * 255 / side),
-            ((xx + yy) * 255 / (2 * side)),
-        ],
-        axis=-1,
-    )
-    noise = rng.normal(0, 12, size=base.shape)
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    px = rng.standard_normal((side, side, 3), dtype=np.float32)
+    px *= np.float32(12.0)
+    px += _base_gradient(side)
+    np.clip(px, 0, 255, out=px)
+    return px.astype(np.uint8)
 
 
 def gen_payload(image_id: str, seed: int = 42) -> tuple[bytes, int, int, str, int]:
     """(bytes, w, h, fmt, phash) for an image_id — the fetch UDF's work.
 
-    phash is computed from the DECODED payload (post-quantization for the
-    lossy fmt) so engine and oracle hash identical pixels.
+    phash is computed from the post-quantization pixels for the lossy fmt —
+    identical to the decoded payload (the lossy container is quantize-then-
+    lossless-pack, so decode(encode(q)) == q; asserted in tests) — so engine
+    and oracle hash identical pixels without a redundant decode pass.
     """
     px = gen_pixels(image_id, seed)
     fmt = image_fmt(image_id)
-    payload = encode_image(px, fmt)
-    decoded = decode_image(payload)
-    h, w = decoded.shape[:2]
-    return payload, int(w), int(h), fmt, phash64(decoded)
+    if fmt == "jpeg":
+        px = quantize_lossy(px)
+        payload = b"WJPG" + png_encode(px)
+    else:
+        payload = png_encode(px)
+    h, w = px.shape[:2]
+    return payload, int(w), int(h), fmt, phash64(px)
 
 
 @dataclass
