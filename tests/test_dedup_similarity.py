@@ -114,6 +114,21 @@ def test_knn_lsh_recall(vectors):
     assert r >= 0.8  # clustered data, 4 tables: near-perfect recall
 
 
+def test_knn_ivf_recall_and_cells(vectors):
+    from weaver_spark.operators.similarity import knn_ivf
+
+    # one codebook entry per cluster (ids 0/30/60) -> cells == clusters,
+    # so even single-probe search recovers the exact neighbors
+    centroids = vectors.where(F.col("vec_id").isin(0, 30, 60))
+    queries = vectors.where(F.col("vec_id").isin(5, 35, 65))
+    exact = knn_bruteforce(vectors, queries, k=5)
+    approx = knn_ivf(vectors, queries, centroids, k=5, n_probe=1)
+    assert recall_at_k(exact, approx, k=5) == 1.0
+    # probed neighbors stay within the query's own cluster
+    for r in approx.collect():
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30
+
+
 def test_lang_id_and_quality(spark):
     from weaver_spark.functions.text import lang_id_col, quality_score_col, token_count_col
 

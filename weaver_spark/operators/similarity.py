@@ -153,6 +153,94 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: every corpus vector is
+    assigned to its nearest centroid *map-side* (the codebook ships as
+    plan literals — assignment adds NO shuffle to the corpus scan), a
+    query probes its ``n_probe`` nearest cells, and exact cosine re-ranks
+    only inside probed cells.
+
+    ``centroids`` is a tiny (cell_id, vector) DataFrame — collected to
+    the driver and inlined. Training the codebook (k-means) is an
+    offline batch job either way; what matters at 100 TB is the serving
+    plan: lay the corpus out bucketed by ``cell`` (Iceberg
+    ``bucket(n_cells, cell)``) and a probe reads ~|corpus|*n_probe/
+    n_cells rows with no corpus-side exchange. Recall is tuned by
+    (n_cells, n_probe) exactly like (n_planes, n_tables) for knn_lsh.
+
+    Ties (assignment and rank) break toward the lower cell / neighbor
+    id, matching the DuckDB oracle's ORDER BY.
+    """
+    from pyspark.sql import Window
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+
+    def _cos_to(v: Column, vn: Column, cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        cn = float(np.sqrt(sum(x * x for x in cvec)))
+        return _dot_col(v, lit) / (vn * F.lit(cn))
+
+    def _cell_structs(v: Column, vn: Column) -> Column:
+        # struct comparison is field-order: max cosine first, then max
+        # -cell == min cell — the deterministic tie-break
+        return F.array(
+            *[
+                F.struct(
+                    _cos_to(v, vn, cvec).alias("cos"),
+                    F.lit(-cid).cast("int").alias("negcell"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm_col(F.col("cv")))
+    c_assigned = c.withColumn(
+        "cell", -F.array_max(_cell_structs(F.col("cv"), F.col("cn")))["negcell"]
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm_col(F.col("qv")))
+    q_probes = (
+        q.withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.sort_array(_cell_structs(F.col("qv"), F.col("qn")), asc=False),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select("query_id", "qv", "qn", (-F.col("probe.negcell")).alias("cell"))
+    )
+
+    cands = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate search
     (evaluation helper for tuning n_planes/n_tables)."""

@@ -682,6 +682,83 @@ SELECT query_id, neighbor_id, rk, ROUND(cosine, 4) AS cosine FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the second ANN scale path next
+    to knn_lsh): codebook = the 8 lowest-vec_id embeddings (deterministic
+    k-means stand-in), corpus assigned map-side to its nearest cell,
+    queries (vec_id 100..104) probe their 2 nearest cells, exact cosine
+    top-3 inside probed cells only. See operators/similarity.knn_ivf for
+    the 100 TB layout argument (corpus bucketed by cell, no exchange)."""
+    from .operators.similarity import knn_ivf
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") <= 104))
+    out = knn_ivf(emb, queries, centroids, k=3, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rk", F.round("cosine", 4).alias("cosine")
+    )
+
+
+IVF_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+  FROM base),
+cent AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM nrm WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        list_aggregate(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]), 'sum') / (b.n * c.cn) DESC,
+        c.cell) AS rk
+    FROM nrm b, cent c) WHERE rk = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_aggregate(list_transform(range(1, 65), i -> q.v[i] * c.cv[i]), 'sum') / (q.n * c.cn) DESC,
+        c.cell) AS rk
+    FROM nrm q, cent c WHERE q.vec_id BETWEEN 100 AND 104) WHERE rk <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    list_aggregate(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), 'sum') / (q.n * c.n) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN nrm q ON q.vec_id = p.query_id
+  JOIN nrm c ON c.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, rk, ROUND(cosine, 4) AS cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) WHERE rk <= 3
+"""
+
+
+def frontier_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """S10 DHT Get/Del as a keyed point lookup (reference
+    src/node/chord_interface.go:17-37,68-91): probe a key set, drop keys
+    covered by delete tombstones. events stands in as the keyed table.
+    At 100 TB this is a partition-pruned point read (layout bucketed by
+    key + min/max and bloom column indexes), never a scan — the probe
+    and tombstone sides broadcast."""
+    e = _t(spark, sf, "events")
+    probes = spark.range(100, 140).select(F.col("id").alias("event_id"))
+    tombs = probes.where(F.col("event_id") % 3 == 0)
+    return (
+        e.join(F.broadcast(probes), "event_id", "left_semi")
+        .join(F.broadcast(tombs), "event_id", "left_anti")
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+POINT_LOOKUP_SQL = """
+SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+FROM events
+WHERE event_id BETWEEN 100 AND 139 AND event_id % 3 <> 0
+"""
+
+
 def lang_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus stats (cube/rollup-shaped crawl metrics)."""
     d = _t(spark, sf, "documents")
@@ -777,6 +854,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash16": (simhash16, SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, JACCARD_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, COSINE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, IVF_SQL),
+    "frontier_point_lookup": (frontier_point_lookup, POINT_LOOKUP_SQL),
     "lang_stats": (lang_stats, LANG_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
