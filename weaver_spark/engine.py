@@ -378,7 +378,13 @@ class CrawlEngine:
         # explicit numPartitions repartition is exempt from AQE
         # coalescing. Keys: (host, salt(url)) spreads mega-hosts across
         # tasks while keeping per-host locality for connection reuse.
-        n_fetch_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # 4x oversubscription: one task per core makes the stage's
+        # makespan the max over N core-long tasks — any straggler (skewed
+        # bucket, stolen CPU slice) idles its whole core to the end. 4
+        # waves of short tasks let the scheduler re-balance; per-task
+        # python-worker/arrow setup is milliseconds against multi-second
+        # tasks.
+        n_fetch_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
         fetch_input = fetch_input.repartition(
             n_fetch_parts,
             F.col("host"),

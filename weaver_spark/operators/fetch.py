@@ -87,7 +87,7 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
             # winner rows materialize payload bytes — losers are still
             # fetched (status/metrics) but skip generation entirely
             if "_store" in pdf.columns:
-                stores = pdf["_store"].fillna(False).to_numpy(dtype=bool)
+                stores = pdf["_store"].eq(True).to_numpy(dtype=bool)
             else:
                 stores = np.ones(n, dtype=bool)
             for i in range(n):
@@ -204,7 +204,7 @@ def make_http_fetch_fn(
                     "sink": ["m"] * n,
                 }
                 if "_store" in pdf.columns:
-                    stores = pdf["_store"].fillna(False).to_numpy(dtype=bool)
+                    stores = pdf["_store"].eq(True).to_numpy(dtype=bool)
                 else:
                     stores = np.ones(n, dtype=bool)
                 for i, (status, body, _ms) in enumerate(fetched):
