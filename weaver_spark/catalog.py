@@ -109,6 +109,42 @@ class DeltaTable:
         self._write_manifest(cid, manifest)
         return cid
 
+    def append_rows(self, rows: list[tuple], meta: dict | None = None) -> int:
+        """Driver-side commit of a handful of LITERAL metadata rows
+        (lineage entries — 2-4 rows per round) via pyarrow, bypassing a
+        full Spark job. Same manifest/commit semantics as ``append``;
+        readers cannot tell the difference. This is exactly how Iceberg
+        itself records snapshot metadata: tiny bookkeeping writes are a
+        driver/catalog responsibility, not a distributed job — launching
+        a Spark stage to write 3 rows costs ~1 s of fixed scheduler
+        latency per round, a pure serial term in the scaling ratio."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _pa_types = {
+            "integer": pa.int32(),
+            "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+        }
+        fields = [
+            pa.field(f.name, _pa_types[f.dataType.typeName()]) for f in self.schema.fields
+        ]
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(fields, cols)},
+            schema=pa.schema(fields),
+        )
+        cid = self.last_commit() + 1
+        token = secrets.token_hex(4)
+        data_dir = os.path.join(self.root, "data", f"c{cid:08d}-{token}")
+        os.makedirs(data_dir)
+        pq.write_table(table, os.path.join(data_dir, "part-00000.parquet"))
+        self._write_manifest(cid, {"files": [data_dir], "meta": meta or {}})
+        return cid
+
     def adopt(self, src_dir: str, meta: dict | None = None) -> int:
         """Metadata-only commit of an EXISTING parquet directory (Iceberg
         ``add_files``): the directory is renamed into the table's data

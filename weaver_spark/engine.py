@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from datetime import datetime, timezone
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -123,6 +124,14 @@ class CrawlEngine:
         self.round_time_budget_ms = round_time_budget_ms
         self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
         self._next_round: int | None = None  # cached current_round()
+        # (frontier_commit_id, n_pending, max_seq) carried across rounds:
+        # valid only while the frontier's last commit is the one this
+        # engine wrote — any external append/compact/rollback falls back
+        # to the exact aggregate. Purpose: the round's head aggregate is
+        # a driver-side scalar job over the whole frontier state; its
+        # ~1-5 s is a fixed serial term per round that the N-vs-4N
+        # scaling ratio pays at BOTH cluster sizes (BENCH/BASELINE.md).
+        self._carry: tuple[int, int, int] | None = None
         self.keep_stage = keep_stage
         self.compact_every = compact_every
         self.stage_root = os.path.join(warehouse, "_stage")
@@ -247,24 +256,34 @@ class CrawlEngine:
         if self.track_leases:
             self.reclaim_expired_leases()
             mark("reclaim")
-        state = self.frontier.latest_state(spark).persist()
-        pending = state.where(F.col("status") == STATUS_PENDING)
-
-        # one driver-side scalar job: pending count + max seq together
-        head = state.agg(
-            F.sum(F.when(F.col("status") == STATUS_PENDING, 1).otherwise(0)).alias(
-                "n_pending"
-            ),
-            F.max("enqueue_seq").alias("max_seq"),
-        ).collect()[0]
-        mark("head_agg")
-        if not head["n_pending"]:
-            state.unpersist()
-            return None
-        max_seq = head["max_seq"] or 0
+        carry = self._carry
+        if carry is not None and carry[0] == self.frontier.last_commit():
+            n_pending, max_seq = carry[1], carry[2]
+            if not n_pending:
+                return None  # drained — decided without launching a job
+            state = self.frontier.latest_state(spark).persist()
+            pending = state.where(F.col("status") == STATUS_PENDING)
+            mark("head_carry")
+        else:
+            state = self.frontier.latest_state(spark).persist()
+            pending = state.where(F.col("status") == STATUS_PENDING)
+            # one driver-side scalar job: pending count + max seq together
+            head = state.agg(
+                F.sum(
+                    F.when(F.col("status") == STATUS_PENDING, 1).otherwise(0)
+                ).alias("n_pending"),
+                F.max("enqueue_seq").alias("max_seq"),
+            ).collect()[0]
+            mark("head_agg")
+            if not head["n_pending"]:
+                state.unpersist()
+                return None
+            n_pending = head["n_pending"]
+            max_seq = head["max_seq"] or 0
 
         # schedule the batch
         cand = pending
+        n_blocked = 0
         if self.mode == "scale" and self.robots_df is not None:
             # robots enforcement: broadcast join, map-side split — the
             # frontier never shuffles for this. Disallowed rows leave the
@@ -279,7 +298,8 @@ class CrawlEngine:
                 .select(*[f.name for f in FRONTIER_SCHEMA.fields])
                 .persist()
             )
-            if blocked_updates.count():
+            n_blocked = blocked_updates.count()
+            if n_blocked:
                 self.frontier.append(
                     blocked_updates, meta={"op": "robots_block", "round": round_no}
                 )
@@ -548,6 +568,15 @@ class CrawlEngine:
         )
         if seq_pin is not None:
             seq_pin.unpersist()
+        # carry the next round's head scalars: every batch row left the
+        # pending set (done/failed), blocked rows left it terminally, and
+        # each discovered link entered it with a fresh sequence number
+        n_links = agg["n_links"] or 0
+        self._carry = (
+            fr_commit,
+            n_pending - n_blocked - agg["fetched"] + n_links,
+            max_seq + n_links,
+        )
 
         mark("frontier_append")
         # ---- lineage (round -> commit per table; only commits that ran)
@@ -559,10 +588,12 @@ class CrawlEngine:
             lin_rows.append((round_no, "images", img_commit))
         if lease_commit is not None:
             lin_rows.append((round_no, "frontier_lease", lease_commit))
-        lin_df = self.spark.createDataFrame(
-            lin_rows, "round int, table string, commit_id long"
-        ).withColumn("committed_at", F.current_timestamp())
-        self.lineage.append(lin_df.select(*[f.name for f in LINEAGE_SCHEMA.fields]))
+        # tiny metadata commit — driver-side pyarrow write (catalog
+        # append_rows), not a Spark job: Iceberg-style snapshot
+        # bookkeeping is catalog work, and a per-round Spark stage for 3
+        # rows is a serial term the scaling ratio pays at both N and 4N
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        self.lineage.append_rows([(*r, now) for r in lin_rows])
 
         mark("lineage_append")
         stats = {
@@ -583,7 +614,11 @@ class CrawlEngine:
         # away rollback to pre-compaction rounds (Iceberg snapshot-expiry
         # semantics), so it's opt-in.
         if self.compact_every and (round_no + 1) % self.compact_every == 0:
-            self.frontier.compact(spark, meta={"round": round_no})
+            comp_cid = self.frontier.compact(spark, meta={"round": round_no})
+            if self._carry is not None:
+                # compaction preserves state — rebind the carry to the
+                # new head commit instead of falling back to the agg
+                self._carry = (comp_cid, self._carry[1], self._carry[2])
             mark("compact")
         self._next_round = round_no + 1
         if timing:
@@ -619,6 +654,7 @@ class CrawlEngine:
         n_lineage_commits = round_no + 1
         self.lineage.rollback(n_lineage_commits)
         self._next_round = None  # recompute from lineage next round
+        self._carry = None  # head scalars no longer describe the log
 
     # -- reporting -----------------------------------------------------------
 

@@ -682,6 +682,72 @@ SELECT query_id, neighbor_id, rk, ROUND(cosine, 4) AS cosine FROM (
 """
 
 
+def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup family's dense-
+    vector member, next to minhash/simhash/jaccard). The corpus has no
+    natural near-dups (max pairwise cosine 0.513), so the query plants
+    them deterministically: each vec_id < 50 gets a perturbed copy
+    (vec_id + 100000, every component +0.02) — the same transform in the
+    DuckDB oracle — and the detector must recover exactly those 50 pairs
+    at cosine >= 0.9 without false positives from the natural corpus.
+
+    This is the exact all-pairs verify kernel (JVM zip_with/aggregate
+    dot products, a.vec_id < b.vec_id join). At corpus scale the
+    candidate set comes from the banded hyperplane-LSH buckets
+    (operators/similarity.knn_lsh) or IVF cells (knn_ivf) instead of
+    all-pairs — both implemented and recall-tested; the per-candidate
+    exact verify is identical to this."""
+    emb = _t(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), dbl.alias("v"))
+    planted = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x + F.lit(0.02)).alias("v"),
+    )
+    allv = base.unionByName(planted)
+    norm = allv.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+NEARDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.02) AS v
+  FROM base WHERE vec_id < 50),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+  FROM allv)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), 'sum')
+        / (a.n * b.n), 4) AS cosine
+FROM nrm a, nrm b
+WHERE a.vec_id < b.vec_id
+  AND list_aggregate(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), 'sum')
+      / (a.n * b.n) >= 0.9
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate nearest neighbors (the second ANN scale path next
     to knn_lsh): codebook = the 8 lowest-vec_id embeddings (deterministic
@@ -854,6 +920,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash16": (simhash16, SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, JACCARD_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, COSINE_SQL),
+    "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "ann_ivf_topk": (ann_ivf_topk, IVF_SQL),
     "frontier_point_lookup": (frontier_point_lookup, POINT_LOOKUP_SQL),
     "lang_stats": (lang_stats, LANG_SQL),
