@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from .catalog import Catalog, DeltaTable
-from .functions.urls import canonicalize_series
+from .functions.urls import canonicalize_series, resolve_series
 from .operators.fetch import make_synthetic_fetch_fn
 from .operators.ranking import budget_rank, dense_seq, topk_per_group
 from .operators.robots import DELAY_CAP_COL, apply_robots
@@ -79,6 +79,11 @@ from .webgen import SyntheticWeb
 @F.pandas_udf(StringType())
 def _canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls)
+
+
+@F.pandas_udf(StringType())
+def _resolve_canonicalize_udf(parents: pd.Series, raws: pd.Series) -> pd.Series:
+    return resolve_series(parents, raws)
 
 
 def _priority_expr(kind_col):
@@ -152,6 +157,20 @@ class CrawlEngine:
         self.web_pages = df.persist()
         self.web_pages.count()
 
+    def set_http_fetcher(self, **kwargs) -> None:
+        """Production mode: fetch over real HTTP (bounded thread pool per
+        Arrow batch, reference retry/backoff semantics — operators/
+        fetch.make_http_fetch_fn). The engine then runs WITHOUT a page
+        source table: discovered hrefs resolve against their parent URL,
+        and the payload dedup key is the URL itself (the http fetcher's
+        image_id). This is the `spark-submit` deployment shape
+        (scripts/crawl_job.py); the synthetic path stays the test/bench
+        oracle."""
+        from .operators.fetch import make_http_fetch_fn
+
+        self._fetch_fn = make_http_fetch_fn(self.k_cap, **kwargs)
+        self.web_pages = None
+
     def set_robots(self, rows_or_df) -> None:
         """Install the per-host robots cache (enforced in scale mode as a
         broadcast join at schedule time; see operators/robots.py)."""
@@ -162,11 +181,14 @@ class CrawlEngine:
 
     # -- seeding -----------------------------------------------------------
 
-    def seed_urls(self, urls: list[str]) -> int:
+    def seed_urls(self, urls: list[str], url_types: list[str] | None = None) -> int:
         """`scrap` (reference src/client/main.go:90-110): canonicalize and
         append seeds in list order. Sequence numbers continue from the
         frontier's current max (0..S-1 on an empty table) so re-seeding a
-        live frontier can never mint colliding enqueue_seq keys."""
+        live frontier can never mint colliding enqueue_seq keys.
+        ``url_types`` overrides per-seed page class (the reference client
+        types its seeds explicitly, src/client/main.go:96-107) — required
+        in HTTP mode, where there is no page table to look kinds up in."""
         canon = list(canonicalize_series(pd.Series(urls)))
         ucid = self.frontier.last_commit() + 1
         start = 0
@@ -177,19 +199,25 @@ class CrawlEngine:
                 .collect()[0]["m"]
             )
             start = (m if m is not None else -1) + 1
-        rows = [(u, start + i) for i, u in enumerate(canon)]
-        df = self.spark.createDataFrame(rows, "url string, enqueue_seq long")
+        rows = [
+            (u, start + i, url_types[i] if url_types else None)
+            for i, u in enumerate(canon)
+        ]
+        df = self.spark.createDataFrame(
+            rows, "url string, enqueue_seq long, seed_type string"
+        )
         kinds = self.web_pages.select("url", "kind") if self.web_pages is not None else None
         if kinds is not None:
             df = df.join(F.broadcast(kinds), "url", "left")
         else:
             df = df.withColumn("kind", F.lit(None).cast("string"))
+        eff_kind = F.coalesce(F.col("seed_type"), F.col("kind"), F.lit("leaf"))
         seeded = df.select(
             "url",
             F.xxhash64("url").alias("url_hash"),
             F.parse_url("url", F.lit("HOST")).alias("host"),
-            F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
-            _priority_expr(F.coalesce(F.col("kind"), F.lit("leaf"))).alias("priority"),
+            eff_kind.alias("url_type"),
+            _priority_expr(eff_kind).alias("priority"),
             F.lit(STATUS_PENDING).alias("status"),
             "enqueue_seq",
             F.lit(None).cast("timestamp").alias("lease_ts"),
@@ -350,18 +378,22 @@ class CrawlEngine:
         # small columns). No multi-GB JVM caches, flat memory at any
         # round size, no recompute hazard inside write jobs.
         pages = self.web_pages
-        fetch_input = batch.select("url", "enqueue_seq", "host", "url_type").join(
-            pages.select(
-                F.col("url"),
-                F.col("kind").alias("page_kind"),
-                F.col("links").alias("page_links"),
-                F.col("image_id").alias("page_image_id"),
-                F.col("fmt").alias("page_fmt"),
-                F.col("caption").alias("page_caption"),
-            ),
-            "url",
-            "left",
-        )
+        if pages is not None:
+            fetch_input = batch.select("url", "enqueue_seq", "host", "url_type").join(
+                pages.select(
+                    F.col("url"),
+                    F.col("kind").alias("page_kind"),
+                    F.col("links").alias("page_links"),
+                    F.col("image_id").alias("page_image_id"),
+                    F.col("fmt").alias("page_fmt"),
+                    F.col("caption").alias("page_caption"),
+                ),
+                "url",
+                "left",
+            )
+        else:
+            # HTTP mode: no page source — the fetch UDF talks to the web
+            fetch_input = batch.select("url", "enqueue_seq", "host", "url_type")
         # Pre-fetch payload dedup (J1/S6/F8, moved AHEAD of the fetch):
         # payload keys are known before fetching (the page join provides
         # image_id; in the http path the key is the URL itself), so
@@ -373,9 +405,15 @@ class CrawlEngine:
         # never generate/carry bytes. Consequence at 100 TB: payload
         # bytes are written EXACTLY ONCE — the images commit adopts the
         # sink=p files verbatim (catalog.adopt), nothing re-encodes them.
-        payload_keys = fetch_input.where(
-            F.col("page_image_id").isNotNull()
-        ).select("enqueue_seq", F.col("page_image_id").alias("image_id"))
+        if pages is not None:
+            payload_keys = fetch_input.where(
+                F.col("page_image_id").isNotNull()
+            ).select("enqueue_seq", F.col("page_image_id").alias("image_id"))
+        else:
+            # http path: the payload key IS the (canonical) URL
+            payload_keys = fetch_input.where(
+                F.col("url_type") != URL_TYPE_ROOT
+            ).select("enqueue_seq", F.col("url").alias("image_id"))
         firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
         seen_keys = self.images.read(spark).select("image_id")
         if self.use_bloom:
@@ -511,16 +549,24 @@ class CrawlEngine:
         new_rows = None
         seq_pin = None
         if agg["n_links"]:
-            links = (
-                results.where(F.size("links") > 0)
-                .select(
-                    F.col("enqueue_seq").alias("parent_seq"),
-                    F.posexplode("links").alias("link_pos", "raw_url"),
-                )
-                .withColumn("url", _canonicalize_udf(F.col("raw_url")))
+            links = results.where(F.size("links") > 0).select(
+                F.col("enqueue_seq").alias("parent_seq"),
+                F.col("url").alias("parent_url"),
+                F.posexplode("links").alias("link_pos", "raw_url"),
             )
-            kind_map = pages.select("url", "kind")
-            typed = links.join(kind_map, "url", "left")
+            if pages is not None:
+                # synthetic webs emit absolute spellings
+                links = links.withColumn("url", _canonicalize_udf(F.col("raw_url")))
+                typed = links.join(pages.select("url", "kind"), "url", "left")
+            else:
+                # http mode: hrefs may be relative — resolve vs parent;
+                # discovered links are product/leaf pages (the reference
+                # root handlers enqueue product-typed links)
+                links = links.withColumn(
+                    "url",
+                    _resolve_canonicalize_udf(F.col("parent_url"), F.col("raw_url")),
+                )
+                typed = links.withColumn("kind", F.lit(None).cast("string"))
             with_seq, seq_pin = dense_seq(
                 typed, ["parent_seq", "link_pos"], start=max_seq + 1
             )

@@ -61,6 +61,23 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     return scheme + auth + base + query
 
 
+def resolve_series(parents: pd.Series, raws: pd.Series) -> pd.Series:
+    """Resolve possibly-relative link spellings against their parent page
+    URL (RFC 3986 join), then canonicalize. Used by the engine's HTTP
+    mode, where extracted hrefs are relative ("/item/3") — the synthetic
+    web emits absolute links so the batch path never pays this. urljoin
+    has no vectorized form; the per-row map runs inside Arrow-batched
+    UDFs only, never on the driver."""
+    from urllib.parse import urljoin
+
+    joined = pd.Series(
+        [urljoin(p if isinstance(p, str) else "", r if isinstance(r, str) else "")
+         for p, r in zip(parents, raws)],
+        index=raws.index,
+    )
+    return canonicalize_series(joined)
+
+
 def canonicalize_url(url: str) -> str:
     """Single-URL convenience wrapper (simulator / tests)."""
     return canonicalize_series(pd.Series([url])).iloc[0]
