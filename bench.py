@@ -87,8 +87,12 @@ def bench_crawl(spark) -> dict:
     from weaver_spark.engine import CrawlEngine
     from weaver_spark.webgen import make_web_df
 
-    n_roots = int(os.environ.get("WEAVER_BENCH_ROOTS", "50"))
-    lpr = int(os.environ.get("WEAVER_BENCH_LEAVES_PER_ROOT", "400"))
+    # 200k URLs: small enough for the per-round suite budget, large
+    # enough that the Arrow fetch/decode stage (not per-round fixed
+    # work) sets the rate — a 20k-URL web at 32 cores measures job
+    # overhead, not throughput (scaling legs override via env)
+    n_roots = int(os.environ.get("WEAVER_BENCH_ROOTS", "200"))
+    lpr = int(os.environ.get("WEAVER_BENCH_LEAVES_PER_ROOT", "1000"))
     seeds, web_df = make_web_df(spark, n_roots=n_roots, leaves_per_root=lpr)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix="weaver_bench_", dir=base)

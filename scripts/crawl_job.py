@@ -46,6 +46,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--seeds", help="seeds file: url[\\t<root|leaf>] per line")
     p.add_argument("--mode", choices=["reproduction", "scale"], default="scale")
     p.add_argument("--http", action="store_true", help="real HTTP fetcher")
+    p.add_argument("--robots", action="store_true",
+                   help="live robots.txt cache + enforcement (scale mode)")
     p.add_argument("--host-budget", type=int, default=None)
     p.add_argument("--k-cap", type=int, default=None, help="links per page cap")
     p.add_argument("--max-rounds", type=int, default=100)
@@ -77,6 +79,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.http:
         eng.set_http_fetcher(max_concurrency=args.max_concurrency)
+        if args.robots:
+            eng.enable_auto_robots(max_concurrency=args.max_concurrency)
         seeds, types = [], []
         with open(args.seeds) as f:
             for line in f:

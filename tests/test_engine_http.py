@@ -21,11 +21,28 @@ PIXELS = {i: np.full((8, 8, 3), 40 * i + 7, dtype=np.uint8) for i in range(1, 5)
 PNGS = {i: encode_image(px, "png") for i, px in PIXELS.items()}
 
 
+ROBOTS_TXT = (
+    b"# generic bot rules\n"
+    b"User-agent: megabot\n"
+    b"Disallow: /\n"
+    b"\n"
+    b"User-agent: *\n"
+    b"Disallow: /img/\n"
+    b"Crawl-delay: 0\n"
+)
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
     def do_GET(self):
+        if self.path == "/robots.txt":
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(ROBOTS_TXT)))
+            self.end_headers()
+            self.wfile.write(ROBOTS_TXT)
+            return
         if self.path == "/cat/0":
             # relative hrefs; /img/2 linked twice (first-wins dedup);
             # /cat/1 is a second root one hop deeper
@@ -93,6 +110,44 @@ def test_http_crawl_end_to_end(spark, server):
     pending = state.where(F.col("status") == "pending").count()
     assert pending == 0
     assert sum(s["batch"] for s in stats) == 5
+
+
+def test_robots_txt_parser():
+    from weaver_spark.operators.robots import parse_robots_txt
+
+    prefixes, delay = parse_robots_txt(ROBOTS_TXT.decode())
+    assert prefixes == ["/img/"] and delay == 0  # megabot group ignored
+
+    # grouped agents, fractional delay, comments, junk lines
+    txt = (
+        "User-agent: a\nUser-agent: *\nDisallow: /private/  # secret\n"
+        "Crawl-delay: 1.5\nnonsense line\nDisallow:\n"
+        "\nUser-agent: b\nDisallow: /b-only/\n"
+    )
+    prefixes, delay = parse_robots_txt(txt)
+    assert prefixes == ["/private/"] and delay == 1500
+
+
+def test_http_crawl_live_robots_enforced(spark, server):
+    """Scale mode + live robots cache: /robots.txt is fetched once per
+    host, its Disallow: /img/ blocks the image leaves (terminal status,
+    never fetched), while the allowed leaf is still crawled."""
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="weaver_robots_"), mode="scale")
+    eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+    eng.enable_auto_robots(timeout_s=5.0)
+    eng.seed_urls([f"{server}/cat/0"], url_types=["root"])
+    eng.run(max_rounds=10)
+
+    base = server
+    state = {r["url"]: r["status"] for r in eng.frontier.latest_state(spark).collect()}
+    assert state[f"{base}/img/1"] == "blocked"
+    assert state[f"{base}/img/2"] == "blocked"
+    assert state[f"{base}/cat/1"] == "done"  # not under /img/ — crawled
+    images = {r["image_id"] for r in eng.images.read(spark).collect()}
+    assert images == {f"{base}/cat/1"}  # no blocked URL ever stored
+    # the cache: one robots row for the one host, carrying the parse
+    rows = eng.robots_df.collect()
+    assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
 
 
 def test_http_crawl_404_marks_failed(spark, server):

@@ -102,6 +102,7 @@ class CrawlEngine:
         host_budget: int | None = None,
         salt_buckets: int = 16,
         use_bloom: bool = False,
+        seen_filter: str | None = None,
         track_leases: bool = False,
         lease_timeout_s: int = 30,
         seed: int = 42,
@@ -116,6 +117,13 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.salt_buckets = salt_buckets
         self.use_bloom = use_bloom
+        # seen_filter supersedes use_bloom: exact | bloom | cuckoo (the
+        # north rule's bloom -> partitioned-cuckoo upgrade path; cuckoo
+        # supports deletion — operators/cuckoo.py)
+        if seen_filter is None:
+            seen_filter = "bloom" if use_bloom else "exact"
+        assert seen_filter in ("exact", "bloom", "cuckoo")
+        self.seen_filter = seen_filter
         self.track_leases = track_leases
         self.lease_timeout_s = lease_timeout_s
         self.seed = seed
@@ -126,6 +134,7 @@ class CrawlEngine:
         self.lineage: DeltaTable = cat.table("lineage", LINEAGE_SCHEMA)
         self.web_pages: DataFrame | None = None
         self.robots_df: DataFrame | None = None
+        self._auto_robots: dict | None = None  # enable_auto_robots kwargs
         self.round_time_budget_ms = round_time_budget_ms
         self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
         self._next_round: int | None = None  # cached current_round()
@@ -178,6 +187,32 @@ class CrawlEngine:
             self.robots_df = rows_or_df
         else:
             self.robots_df = self.spark.createDataFrame(rows_or_df, ROBOTS_SCHEMA)
+
+    def enable_auto_robots(self, **fetch_kwargs) -> None:
+        """Live robots.txt caching (scale mode): at the start of each
+        round, hosts in the pending set that are not yet in the cache get
+        their /robots.txt fetched + parsed (operators/robots.
+        fetch_robots_rows) and merged into the robots table — each host
+        is fetched exactly once (the cache the north rule names). Pairs
+        with set_http_fetcher; kwargs (opener, timeout_s, scheme,
+        max_concurrency) pass through to the fetcher."""
+        self._auto_robots = fetch_kwargs
+        self._robots_rows: list[tuple] = []
+        self._robots_hosts: set[str] = set()
+
+    def refresh_robots(self, sites: list[tuple[str, str]]) -> int:
+        """Fetch robots.txt for (host, base_url) pairs not yet cached;
+        rebuild robots_df. The bare host is the politeness/join key, the
+        base_url carries the authority (scheme + host:port) to fetch."""
+        from .operators.robots import fetch_robots_rows
+
+        new = sorted({s for s in sites if s[0] not in self._robots_hosts})
+        if not new:
+            return 0
+        self._robots_rows.extend(fetch_robots_rows(new, **self._auto_robots))
+        self._robots_hosts.update(h for h, _ in new)
+        self.robots_df = self.spark.createDataFrame(self._robots_rows, ROBOTS_SCHEMA)
+        return len(new)
 
     # -- seeding -----------------------------------------------------------
 
@@ -312,6 +347,21 @@ class CrawlEngine:
         # schedule the batch
         cand = pending
         n_blocked = 0
+        if self.mode == "scale" and getattr(self, "_auto_robots", None) is not None:
+            # robots cache fill for hosts first seen this round: a
+            # host-cardinality collect (small by construction; at 10^7
+            # hosts this moves into its own table-refresh job)
+            sites = (
+                pending.groupBy("host")
+                .agg(
+                    F.min(
+                        F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*://[^/]+)", 1)
+                    ).alias("site")
+                )
+                .collect()
+            )
+            self.refresh_robots([(r["host"], r["site"]) for r in sites])
+            mark("robots_fetch")
         if self.mode == "scale" and self.robots_df is not None:
             # robots enforcement: broadcast join, map-side split — the
             # frontier never shuffles for this. Disallowed rows leave the
@@ -416,9 +466,16 @@ class CrawlEngine:
             ).select("enqueue_seq", F.col("url").alias("image_id"))
         firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
         seen_keys = self.images.read(spark).select("image_id")
-        if self.use_bloom:
+        if self.seen_filter == "bloom":
             seen_count = seen_keys.count()
             winner_keys = antijoin_bloom(
+                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+            )
+        elif self.seen_filter == "cuckoo":
+            from .operators.cuckoo import antijoin_cuckoo
+
+            seen_count = seen_keys.count()
+            winner_keys = antijoin_cuckoo(
                 firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
             )
         else:

@@ -1,0 +1,282 @@
+"""Partitioned cuckoo-filter seen-set — the north rule's named upgrade
+over the broadcast Bloom prefilter (operators/seen.py).
+
+Why cuckoo (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT 2014 — public): same prefilter role as Bloom at better space for
+fpp < 3%, and it supports DELETION — which the engine actually needs:
+``DeltaTable.delete_keys`` (the GDPR-purge path, reference DHT Del
+``/root/reference/src/node/chord_interface.go:68-91``) removes payload
+rows, and a deletion-blind prefilter would keep reporting the purged key
+as seen forever, blocking legitimate re-fetch.
+
+Structure: ``n_shards`` independent tables (shard = h1 % n_shards — the
+same sharding as BloomSeenSet), each ``m`` buckets x ``slots`` 16-bit
+fingerprints. fp = low 16 bits of h2 (0 remapped to 1); bucket
+i1 = (h1 >> 16) & (m-1); i2 = i1 XOR spread(fp) — the partial-key
+cuckoo displacement rule, so eviction needs only the stored fingerprint.
+
+Distributed build with NO merge problem: cuckoo tables cannot be
+OR-merged like Bloom bitmaps (insertions displace each other), so the
+build repartitions keys by shard and builds EACH SHARD IN EXACTLY ONE
+TASK (groupBy(shard).applyInPandas) — sequential kicking inside a task,
+parallelism across shards, one small blob per shard collected to the
+driver. At 10^10 keys the shards ARE the partitions (bucket-local
+probe, no broadcast), degenerating to antijoin_copartitioned — same
+stepping stone the Bloom docstring names.
+
+Correctness guarantees mirror antijoin_bloom: the filter only routes
+DEFINITELY-NEW rows around the authoritative exact anti-join, so false
+positives cost a join probe, never a wrong result. Two cuckoo-specific
+hazards are closed conservatively:
+
+- **saturation**: if a shard's kick loop overflows at build time, that
+  shard is marked saturated and every probe landing in it reports
+  maybe-seen (exact-confirmed). Correct at any load factor.
+- **deletion aliasing**: deleting key A may remove a fingerprint that a
+  colliding key B shares (the classic cuckoo-delete caveat — a false
+  NEGATIVE, which a prefilter must never emit). ``delete`` therefore
+  marks the touched (shard, bucket) pairs dirty; probes hitting a dirty
+  bucket report maybe-seen and fall through to the exact join. Deletes
+  stay O(1), exactness is unconditional.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from .seen import _hash_cols, antijoin_exact
+
+_FP_MASK = np.uint64(0xFFFF)
+_SPREAD = np.uint64(0x5BD1)  # odd multiplier spreading fp into bucket space
+_MAX_KICKS = 500
+
+
+def _shard_of(h1: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id with Spark pmod (signed) semantics — the build groups by
+    ``F.pmod(_bh1, n)`` on the SIGNED long, so the probe must reduce the
+    same way; an unsigned ``%`` disagrees for negative hashes and would
+    probe the wrong shard (a false-negative generator)."""
+    return np.mod(h1.astype(np.int64), n_shards).astype(np.int64)
+
+
+def _fp_of(h2: np.ndarray) -> np.ndarray:
+    fp = (h2 & _FP_MASK).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 marks an empty slot
+    return fp
+
+
+def _i1_of(h1: np.ndarray, m: int) -> np.ndarray:
+    return ((h1 >> np.uint64(16)) & np.uint64(m - 1)).astype(np.int64)
+
+
+def _alt_bucket(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    spread = (fp.astype(np.uint64) * _SPREAD) & np.uint64(m - 1)
+    return (i.astype(np.uint64) ^ spread).astype(np.int64)
+
+
+class CuckooSeenSet:
+    def __init__(
+        self,
+        n_buckets: int,
+        slots: int,
+        shards: np.ndarray,  # (n_shards, m, slots) uint16
+        saturated: np.ndarray,  # (n_shards,) bool
+    ):
+        self.n_buckets = n_buckets
+        self.slots = slots
+        self.shards = shards
+        self.saturated = saturated
+        # deletion support: buckets whose contents were mutated by a
+        # delete — probes there must exact-confirm (see module docstring)
+        self.dirty: set[tuple[int, int]] = set()
+
+    @property
+    def n_shards(self) -> int:
+        return self.shards.shape[0]
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        key: str,
+        expected_items: int,
+        n_shards: int = 4,
+        slots: int = 4,
+        load_factor: float = 0.84,
+    ) -> "CuckooSeenSet":
+        """One shard per task: repartition keys by shard id, build each
+        table sequentially inside its task, collect one blob per shard."""
+        per_shard = max(expected_items, 1) / n_shards / (slots * load_factor)
+        m = 1 << max(3, int(np.ceil(np.log2(max(per_shard, 1)))))
+
+        hashed = (
+            _hash_cols(df.select(key).distinct(), key)
+            .select("_bh1", "_bh2")
+            .withColumn("_shard", F.pmod(F.col("_bh1"), F.lit(n_shards)))
+        )
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard_id = int(pdf["_shard"].iloc[0])
+            table = np.zeros((m, slots), dtype=np.uint16)
+            h1 = pdf["_bh1"].to_numpy(np.uint64)
+            fp_arr = _fp_of(pdf["_bh2"].to_numpy(np.uint64))
+            i1_arr = _i1_of(h1, m)
+            saturated = False
+            rng = np.random.default_rng(shard_id)  # deterministic kicks
+            for j in range(len(fp_arr)):
+                fp, i = int(fp_arr[j]), int(i1_arr[j])
+                alt = int(_alt_bucket(np.int64(i), np.uint16(fp), m))
+                placed = False
+                for b in (i, alt):
+                    row = table[b]
+                    if fp in row:  # fp-duplicate: already represented
+                        placed = True
+                        break
+                    empty = np.flatnonzero(row == 0)
+                    if len(empty):
+                        row[empty[0]] = fp
+                        placed = True
+                        break
+                if placed:
+                    continue
+                cur = i
+                for _ in range(_MAX_KICKS):
+                    s = int(rng.integers(0, slots))
+                    fp, table[cur, s] = int(table[cur, s]), fp
+                    cur = int(_alt_bucket(np.int64(cur), np.uint16(fp), m))
+                    row = table[cur]
+                    empty = np.flatnonzero(row == 0)
+                    if len(empty):
+                        row[empty[0]] = fp
+                        break
+                else:
+                    saturated = True  # degrade, never drop a key silently
+                    break
+            return pd.DataFrame(
+                {
+                    "shard": [shard_id],
+                    "blob": [table.tobytes()],
+                    "saturated": [saturated],
+                }
+            )
+
+        rows = (
+            hashed.groupBy("_shard")
+            .applyInPandas(build_shard, "shard long, blob binary, saturated boolean")
+            .collect()
+        )
+        shards = np.zeros((n_shards, m, slots), dtype=np.uint16)
+        saturated = np.zeros(n_shards, dtype=bool)
+        for r in rows:
+            shards[r["shard"]] = np.frombuffer(r["blob"], dtype=np.uint16).reshape(
+                m, slots
+            )
+            saturated[r["shard"]] = r["saturated"]
+        return CuckooSeenSet(m, slots, shards, saturated)
+
+    # -- membership --------------------------------------------------------
+
+    def _probe_arrays(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        m = self.n_buckets
+        shard = _shard_of(h1, self.n_shards)
+        fp = _fp_of(h2)
+        i1 = _i1_of(h1, m)
+        i2 = _alt_bucket(i1, fp, m)
+        fp_col = fp[:, None]
+        hit = (self.shards[shard, i1] == fp_col).any(axis=1)
+        hit |= (self.shards[shard, i2] == fp_col).any(axis=1)
+        hit |= self.saturated[shard]
+        if self.dirty:
+            for j in np.flatnonzero(~hit):
+                if (shard[j], i1[j]) in self.dirty or (shard[j], i2[j]) in self.dirty:
+                    hit[j] = True
+        return hit
+
+    def might_contain_udf(self, spark):
+        """Vectorized probe over (_bh1, _bh2) — same contract as
+        BloomSeenSet.might_contain_udf."""
+        bc = spark.sparkContext.broadcast(
+            (self.n_buckets, self.slots, self.shards, self.saturated, self.dirty)
+        )
+        n_shards = self.n_shards
+
+        @F.pandas_udf(BooleanType())
+        def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+            m, slots, shards, saturated, dirty = bc.value
+            filt = CuckooSeenSet(m, slots, shards, saturated)
+            filt.dirty = dirty
+            assert filt.n_shards == n_shards
+            return pd.Series(
+                filt._probe_arrays(
+                    h1s.to_numpy(np.uint64), h2s.to_numpy(np.uint64)
+                )
+            )
+
+        return probe
+
+    # -- deletion (the capability Bloom lacks) -----------------------------
+
+    def delete_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Remove fingerprints for keys KNOWN to have been inserted,
+        given their (h1, h2) hash arrays — use ``spark_key_hasher`` so
+        the bits match the JVM xxhash64 the build used. Driver-side
+        numpy (the filter is broadcast-sized by design). Touched buckets
+        go on the dirty list so aliased survivors can never
+        false-negative. Returns fingerprints removed."""
+        m = self.n_buckets
+        shard = _shard_of(h1, self.n_shards)
+        fp = _fp_of(h2)
+        i1 = _i1_of(h1, m)
+        i2 = _alt_bucket(i1, fp, m)
+        removed = 0
+        for j in range(len(fp)):
+            for b in (int(i1[j]), int(i2[j])):
+                row = self.shards[shard[j], b]
+                idx = np.flatnonzero(row == fp[j])
+                if len(idx):
+                    row[idx[0]] = 0
+                    self.dirty.add((int(shard[j]), b))
+                    removed += 1
+                    break
+        return removed
+
+
+def spark_key_hasher(spark, key_df: DataFrame, key: str):
+    """Hash keys with the SAME JVM xxhash64 the build used (python-side
+    xxhash is not bit-compatible): one tiny job over the keys to delete."""
+    rows = _hash_cols(key_df.select(key).distinct(), key).select("_bh1", "_bh2").collect()
+    h1 = np.array([r["_bh1"] for r in rows], dtype=np.int64).view(np.uint64)
+    h2 = np.array([r["_bh2"] for r in rows], dtype=np.int64).view(np.uint64)
+    return h1, h2
+
+
+def antijoin_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str,
+    expected_items: int,
+    n_shards: int = 4,
+    filt: CuckooSeenSet | None = None,
+) -> DataFrame:
+    """Cuckoo prefilter + exact confirm. Result == antijoin_exact always
+    (definitely-new rows bypass the join; maybe-seen rows are confirmed).
+    Pass a prebuilt ``filt`` to reuse/delete-maintain the filter across
+    rounds instead of rebuilding from ``seen``."""
+    spark = candidates.sparkSession
+    if filt is None:
+        filt = CuckooSeenSet.build(seen, key, expected_items, n_shards=n_shards)
+    probe = filt.might_contain_udf(spark)
+    hashed = _hash_cols(candidates, key).withColumn(
+        "_maybe_seen", probe(F.col("_bh1"), F.col("_bh2"))
+    )
+    definitely_new = hashed.where(~F.col("_maybe_seen")).drop(
+        "_bh1", "_bh2", "_maybe_seen"
+    )
+    suspects = hashed.where(F.col("_maybe_seen")).drop("_bh1", "_bh2", "_maybe_seen")
+    confirmed_new = antijoin_exact(suspects, seen, key)
+    return definitely_new.unionByName(confirmed_new)

@@ -79,6 +79,89 @@ def apply_robots(
     return allowed, blocked
 
 
+def parse_robots_txt(text: str) -> tuple[list[str], int]:
+    """Parse a robots.txt body into (disallow_prefixes, crawl_delay_ms)
+    for the wildcard agent. Standard group semantics: consecutive
+    User-agent lines open a group; rules apply to the groups whose agent
+    matched ``*``; agent-specific groups are ignored (the crawler
+    identifies as a generic bot). Crawl-delay is seconds (possibly
+    fractional) -> ms. Unparseable lines are skipped — robots.txt in the
+    wild is messy and a parse error must never block a crawl."""
+    prefixes: list[str] = []
+    delay_ms = 0
+    active = False  # current group includes User-agent: *
+    in_agent_run = False  # consecutive user-agent lines open one group
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                active = False
+                in_agent_run = True
+            if val == "*":
+                active = True
+        else:
+            in_agent_run = False
+            if not active:
+                continue
+            if key == "disallow" and val:
+                prefixes.append(val)
+            elif key == "crawl-delay":
+                try:
+                    delay_ms = int(float(val) * 1000)
+                except ValueError:
+                    pass
+    return prefixes, delay_ms
+
+
+def fetch_robots_rows(
+    sites: list,
+    scheme: str = "http",
+    timeout_s: float = 5.0,
+    max_concurrency: int = 16,
+    opener=None,
+) -> list[tuple]:
+    """Fetch + parse ``/robots.txt`` per site into ROBOTS_SCHEMA rows
+    (host, disallow_prefixes, crawl_delay_ms) — the cache-fill side of
+    the robots table. ``sites`` items are either bare hosts or
+    (host, base_url) pairs: the frontier's politeness key is the bare
+    host, but the fetch needs the full authority (scheme + host:port) —
+    collapsing them fetches the wrong port. Bounded thread pool
+    (network-bound), one shot per site: an unreachable or 4xx robots.txt
+    means no restrictions (the de-facto standard), never a blocked
+    crawl. Driver-side by design: the robots cache is host-cardinality
+    (~10^7 at 10^10-URL frontier scale — at that size this becomes its
+    own small Spark job writing the robots table; same parse, same
+    schema)."""
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    _open = opener or (
+        lambda url, timeout: urllib.request.urlopen(url, timeout=timeout)
+    )
+
+    def one(site) -> tuple:
+        if isinstance(site, tuple):
+            host, base = site
+        else:
+            host, base = site, f"{scheme}://{site}"
+        try:
+            with _open(f"{base}/robots.txt", timeout_s) as r:
+                if r.status != 200:
+                    return (host, [], 0)
+                body = r.read().decode("utf-8", "replace")
+        except Exception:
+            return (host, [], 0)
+        prefixes, delay_ms = parse_robots_txt(body)
+        return (host, prefixes, delay_ms)
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        return list(pool.map(one, sites))
+
+
 def sim_robots_config(rows: list[tuple], round_time_budget_ms: int = 1000) -> dict:
     """The simulator-side mirror of apply_robots/delay_cap_expr: ROBOTS
     rows (host, disallow_prefixes, crawl_delay_ms) -> host config dict.
