@@ -124,6 +124,7 @@ class CrawlEngine:
             seen_filter = "bloom" if use_bloom else "exact"
         assert seen_filter in ("exact", "bloom", "cuckoo")
         self.seen_filter = seen_filter
+        self._cuckoo = None  # persistent cross-round filter (cuckoo mode)
         self.track_leases = track_leases
         self.lease_timeout_s = lease_timeout_s
         self.seed = seed
@@ -472,11 +473,24 @@ class CrawlEngine:
                 firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
             )
         elif self.seen_filter == "cuckoo":
-            from .operators.cuckoo import antijoin_cuckoo
+            from .operators.cuckoo import CuckooSeenSet, antijoin_cuckoo
 
-            seen_count = seen_keys.count()
+            # persistent filter: built once (4x headroom for growth),
+            # then maintained by per-round inserts of newly-stored keys
+            # below — never rebuilt from the full seen set unless a
+            # shard saturates (O(seen)-per-round rebuilds are the shape
+            # the 10^10 design forbids). Rollbacks/external deletes only
+            # leave stale fingerprints = false positives = exact-confirm
+            # traffic, never a wrong result.
+            if self._cuckoo is not None and self._cuckoo.saturated.any():
+                self._cuckoo = None
+            if self._cuckoo is None:
+                seen_count = seen_keys.count()
+                self._cuckoo = CuckooSeenSet.build(
+                    seen_keys, "image_id", expected_items=max(seen_count * 4, 4096)
+                )
             winner_keys = antijoin_cuckoo(
-                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+                firsts, seen_keys, "image_id", expected_items=0, filt=self._cuckoo
             )
         else:
             winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
@@ -561,6 +575,14 @@ class CrawlEngine:
                 p_dir, meta={"op": "merge", "round": round_no}
             )
             adopted_dir = self.images._read_manifest(img_commit)["files"][0]
+        # cuckoo maintenance: the round's stored keys enter the
+        # persistent filter (one tiny keys-only job; see filter branch)
+        if self.seen_filter == "cuckoo" and img_commit is not None:
+            from .operators.cuckoo import spark_key_hasher
+
+            self._cuckoo.insert_hashes(
+                *spark_key_hasher(spark, winner_keys.select("image_id"), "image_id")
+            )
         # the adoption MOVED sink=p: rebind downstream consumers to the
         # surviving locations (same rows, new paths)
         meta_dirs = [d for d in leaf_dirs if d != p_dir]

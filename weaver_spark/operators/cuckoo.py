@@ -80,6 +80,33 @@ def _alt_bucket(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
     return (i.astype(np.uint64) ^ spread).astype(np.int64)
 
 
+def _insert_one(table: np.ndarray, i: int, fp: int, slots: int, rng) -> bool:
+    """Place fp in bucket i or its alternate, kicking on conflict.
+    Returns False on kick overflow (shard saturated). Shared by the
+    distributed build and driver-side incremental inserts."""
+    m = table.shape[0]
+    alt = int(_alt_bucket(np.int64(i), np.uint16(fp), m))
+    for b in (i, alt):
+        row = table[b]
+        if fp in row:  # fp-duplicate: already represented
+            return True
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+    cur = i
+    for _ in range(_MAX_KICKS):
+        s = int(rng.integers(0, slots))
+        fp, table[cur, s] = int(table[cur, s]), fp
+        cur = int(_alt_bucket(np.int64(cur), np.uint16(fp), m))
+        row = table[cur]
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+    return False
+
+
 class CuckooSeenSet:
     def __init__(
         self,
@@ -129,32 +156,7 @@ class CuckooSeenSet:
             saturated = False
             rng = np.random.default_rng(shard_id)  # deterministic kicks
             for j in range(len(fp_arr)):
-                fp, i = int(fp_arr[j]), int(i1_arr[j])
-                alt = int(_alt_bucket(np.int64(i), np.uint16(fp), m))
-                placed = False
-                for b in (i, alt):
-                    row = table[b]
-                    if fp in row:  # fp-duplicate: already represented
-                        placed = True
-                        break
-                    empty = np.flatnonzero(row == 0)
-                    if len(empty):
-                        row[empty[0]] = fp
-                        placed = True
-                        break
-                if placed:
-                    continue
-                cur = i
-                for _ in range(_MAX_KICKS):
-                    s = int(rng.integers(0, slots))
-                    fp, table[cur, s] = int(table[cur, s]), fp
-                    cur = int(_alt_bucket(np.int64(cur), np.uint16(fp), m))
-                    row = table[cur]
-                    empty = np.flatnonzero(row == 0)
-                    if len(empty):
-                        row[empty[0]] = fp
-                        break
-                else:
+                if not _insert_one(table, int(i1_arr[j]), int(fp_arr[j]), slots, rng):
                     saturated = True  # degrade, never drop a key silently
                     break
             return pd.DataFrame(
@@ -220,6 +222,31 @@ class CuckooSeenSet:
         return probe
 
     # -- deletion (the capability Bloom lacks) -----------------------------
+
+    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> bool:
+        """Driver-side incremental insert of (h1, h2) hash arrays — the
+        cross-round maintenance path: build once, then insert each
+        round's newly-stored keys instead of rebuilding from the full
+        seen set (an O(seen)-per-round rebuild is exactly the shape the
+        10^10 design forbids). A shard that overflows is marked
+        saturated (degrades to always-maybe-seen); returns False in that
+        case so the caller can schedule a larger rebuild. At top scale
+        inserts move into the same one-task-per-shard job as build —
+        driver-side is correct while the filter is broadcast-sized."""
+        m = self.n_buckets
+        shard = _shard_of(h1, self.n_shards)
+        fp = _fp_of(h2)
+        i1 = _i1_of(h1, m)
+        rng = np.random.default_rng(m)
+        ok = True
+        for j in range(len(fp)):
+            s = int(shard[j])
+            if self.saturated[s]:
+                continue
+            if not _insert_one(self.shards[s], int(i1[j]), int(fp[j]), self.slots, rng):
+                self.saturated[s] = True
+                ok = False
+        return ok
 
     def delete_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
         """Remove fingerprints for keys KNOWN to have been inserted,
