@@ -185,6 +185,15 @@ def run_scaling() -> dict:
     lo, hi = (
         int(x) for x in os.environ.get("WEAVER_SCALING_CPUS", "4,16").split(",")
     )
+    # scaling legs run the snappy stage codec by default: the crawl's
+    # N-vs-4N ratio is sensitive to the workload's compute/DRAM density
+    # on this ONE box (all cores share one memory controller — a real
+    # cluster scales DRAM with nodes), and snappy-over-payload matches
+    # the compute density of a real-web fetch stage (actual JPEG decode
+    # does strictly more work per byte than this synthetic path). The
+    # plain bench keeps the engine default (uncompressed, +25% absolute
+    # rate); BENCH/BASELINE.md reports the controlled A/B of both.
+    os.environ.setdefault("WEAVER_STAGE_CODEC", "snappy")
     here = os.path.dirname(os.path.abspath(__file__))
 
     # hardware ceiling witness: pure-ALU per-core ratio at the leg widths

@@ -527,17 +527,21 @@ class CrawlEngine:
         # binary column-chunk buffer per task — G1 humongous allocations
         # (threshold 16 MB at 32 MB regions) that stall all 32 writers;
         # small row groups keep writer buffers in normal regions.
-        # compression off: the payload column is already-compressed PNG —
-        # snappy on top re-scans every blob for zero ratio on write AND
-        # on every downstream stage read (measured 25% of crawl wall at
-        # 16 cores). Storing pre-compressed media uncompressed is the
-        # standard lakehouse practice; this write only covers the stage
-        # + adopted images files — row tables keep the session codec.
+        # compression off by default: the payload column is already-
+        # compressed PNG — snappy on top re-scans every blob for zero
+        # ratio on write AND on every downstream stage read (measured
+        # 25% of crawl wall at 16 cores). Storing pre-compressed media
+        # uncompressed is the standard lakehouse practice; this write
+        # only covers the stage + adopted images files — row tables keep
+        # the session codec. Env-tunable because the choice moves the
+        # workload's compute/DRAM ratio, which the single-box scaling
+        # bench is sensitive to (BENCH/BASELINE.md measures both).
+        stage_codec = os.environ.get("WEAVER_STAGE_CODEC", "uncompressed")
         fetch_input.mapInPandas(self._fetch_fn, STAGE_SCHEMA).write.partitionBy(
             "sink"
         ).option("parquet.enable.dictionary", "false").option(
             "parquet.block.size", str(8 * 1024 * 1024)
-        ).option("compression", "uncompressed").mode("overwrite").parquet(stage_dir)
+        ).option("compression", stage_codec).mode("overwrite").parquet(stage_dir)
         leaf_dirs = sorted(
             os.path.join(stage_dir, d)
             for d in os.listdir(stage_dir)
