@@ -453,6 +453,37 @@ FROM documents
 """
 
 
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The two standard token-count estimators over documents:
+    whitespace split (the cheap lower bound) and a BPE-ish regex (the
+    GPT-2 pre-tokenizer shape — contraction suffixes, space-prefixed
+    letter runs, digit runs, punctuation runs — the usual proxy for
+    'how many LLM tokens is this corpus'). Both are single JVM-side
+    regex passes (regexp_extract_all / split), no Python; at 100 TB
+    this is a pure map stage with only `text` read from the scan."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+        ).alias("bpe_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+', 0))
+    AS bpe_tokens
+FROM documents
+"""
+
+
 def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics: stopword ratio + mean token length + distinct
     token ratio (the classic crawl-corpus filters)."""
@@ -914,6 +945,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_PAIRS_SQL),
