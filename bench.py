@@ -32,19 +32,28 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "region_supplier_rollup",
     "gather_merge",
     "storage_dedup_antijoin",
     "frontier_fifo_batch",
+    "url_type_dispatch",
+    "lease_reclaim_filter",
     "topk_links_per_page",
     "politeness_budget_rank",
     "host_priority_schedule",
+    "robots_disallow_filter",
+    "crawl_delay_schedule",
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
+    "token_stats",
     "quality_score",
     "minhash_signatures",
     "simhash16",
     "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "frontier_point_lookup",
+    "lang_stats",
     "events_hourly_rollup",
     "sessionize",
 ]
