@@ -49,6 +49,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--robots", action="store_true",
                    help="live robots.txt cache + enforcement (scale mode)")
     p.add_argument("--host-budget", type=int, default=None)
+    p.add_argument("--seen-filter", choices=["exact", "bloom", "cuckoo"],
+                   default="exact", help="payload-key dedup prefilter")
     p.add_argument("--k-cap", type=int, default=None, help="links per page cap")
     p.add_argument("--max-rounds", type=int, default=100)
     p.add_argument("--max-concurrency", type=int, default=16,
@@ -74,6 +76,7 @@ def main(argv: list[str] | None = None) -> None:
         mode=args.mode,
         k_cap=args.k_cap,
         host_budget=args.host_budget,
+        seen_filter=args.seen_filter,
         track_leases=args.track_leases,
         compact_every=args.compact_every,
     )
