@@ -51,6 +51,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--host-budget", type=int, default=None)
     p.add_argument("--seen-filter", choices=["exact", "bloom", "cuckoo"],
                    default="exact", help="payload-key dedup prefilter")
+    p.add_argument("--classify", action="append", default=[],
+                   metavar="REGEX=TYPE",
+                   help="URL classifier rule for discovered links in --http"
+                        " mode (repeatable, first match wins; TYPE is root"
+                        " or leaf). Without rules discovery stops at leaf"
+                        " depth 1.")
     p.add_argument("--k-cap", type=int, default=None, help="links per page cap")
     p.add_argument("--max-rounds", type=int, default=100)
     p.add_argument("--max-concurrency", type=int, default=16,
@@ -60,7 +66,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--demo-roots", type=int, default=50,
                    help="synthetic web size when --http is not set")
     p.add_argument("--demo-leaves", type=int, default=400)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.http and not args.seeds:
+        p.error("--http requires --seeds")
+    rules = []
+    for spec in args.classify:
+        pat, sep, t = spec.rpartition("=")
+        if not sep or t not in ("root", "leaf", "dummy"):
+            p.error(f"--classify expects REGEX=root|leaf, got {spec!r}")
+        rules.append((pat, t))
+    args.classify_rules = rules
+    return args
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -82,6 +98,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.http:
         eng.set_http_fetcher(max_concurrency=args.max_concurrency)
+        if args.classify_rules:
+            eng.set_url_classifier(args.classify_rules)
         if args.robots:
             eng.enable_auto_robots(max_concurrency=args.max_concurrency)
         seeds, types = [], []

@@ -20,6 +20,13 @@ def test_defaults():
     assert a.max_rounds == 100 and a.max_concurrency == 16
 
 
+def test_http_requires_seeds():
+    import pytest
+
+    with pytest.raises(SystemExit):  # argparse usage error, not TypeError
+        crawl_job.parse_args(["--warehouse", "/tmp/wh", "--http"])
+
+
 def test_full_production_shape():
     a = crawl_job.parse_args([
         "--warehouse", "hdfs:///wh", "--seeds", "seeds.txt", "--http",

@@ -52,6 +52,15 @@ class _Handler(BaseHTTPRequestHandler):
             )
         elif self.path == "/cat/1":
             body = b'<a href="/img/3">c</a> <a href="/img/4">d</a> <a href="/gone">x</a>'
+        # 3-level category tree for the URL-classifier test: only the
+        # classifier can descend it (every /shop/ page would otherwise be
+        # typed leaf and never have its links extracted)
+        elif self.path == "/shop/0":
+            body = b'<a href="/shop/1">s1</a> <a href="/img/1">i1</a>'
+        elif self.path == "/shop/1":
+            body = b'<a href="/shop/2">s2</a> <a href="/img/2">i2</a>'
+        elif self.path == "/shop/2":
+            body = b'<a href="/img/3">i3</a> <a href="/img/4">i4</a>'
         elif self.path.startswith("/img/"):
             body = PNGS[int(self.path.rsplit("/", 1)[1])]
         else:
@@ -148,6 +157,73 @@ def test_http_crawl_live_robots_enforced(spark, server):
     # the cache: one robots row for the one host, carrying the parse
     rows = eng.robots_df.collect()
     assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
+
+
+def test_url_classifier_compounds_discovery(spark, server, tmp_path):
+    """With classifier rules, DISCOVERED category pages are typed root and
+    their links extracted — the crawl descends a 3-level site from one
+    seed (without rules it stalls at depth 1, test_http_crawl_end_to_end).
+    Rules compile to a JVM CASE/rlike over the links pass: first match
+    wins, no match falls through to leaf."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh"))
+    eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+    eng.set_url_classifier([(r"/shop/\d+$", "root")])
+    eng.seed_urls([f"{server}/shop/0"], url_types=["root"])
+    eng.run(max_rounds=10)
+
+    base = server
+    images = {r["image_id"]: r for r in eng.images.read(spark).collect()}
+    # payload leaves from ALL THREE levels stored; category pages typed
+    # root yield links, never payloads
+    assert sorted(images) == [f"{base}/img/{i}" for i in (1, 2, 3, 4)]
+    assert images[f"{base}/img/4"]["phash"] == phash64(PIXELS[4])
+
+    state = {r["url"]: r for r in eng.frontier.latest_state(spark).collect()}
+    # discovered (not seeded) categories were classified root, fetched,
+    # and their depth>=2 links enqueued
+    assert state[f"{base}/shop/1"]["url_type"] == "root"
+    assert state[f"{base}/shop/2"]["url_type"] == "root"
+    assert state[f"{base}/shop/2"]["status"] == "done"
+    assert state[f"{base}/img/3"]["status"] == "done"  # depth-3 leaf
+
+
+def test_robots_cache_persists_across_restart(spark, server, tmp_path):
+    """The robots cache is a durable table: a restarted engine reloads it
+    and never re-fetches a cached host's robots.txt (witnessed by opener
+    call count across two engines on one warehouse)."""
+    import urllib.request
+
+    calls: list[str] = []
+
+    def opener(url, timeout):
+        calls.append(url)
+        return urllib.request.urlopen(url, timeout=timeout)
+
+    wh = str(tmp_path / "wh")
+    for expected_calls in (1, 1):  # first run fetches; restart must not
+        eng = CrawlEngine(spark, wh, mode="scale")
+        eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+        eng.enable_auto_robots(opener=opener, timeout_s=5.0)
+        eng.seed_urls([f"{server}/cat/0"], url_types=["root"])
+        eng.run(max_rounds=10)
+        assert len(calls) == expected_calls
+    rows = eng.robots_df.collect()
+    assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
+
+
+def test_manual_robots_survive_auto_refresh(spark, server, tmp_path):
+    """set_robots() rules installed before enable_auto_robots must not be
+    discarded by the first auto-refresh (the live robots.txt has no /cat/
+    rule, so a dropped manual overlay would let the seed through)."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="scale")
+    eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+    eng.set_robots([("127.0.0.1", ["/cat/"], 0)])
+    eng.enable_auto_robots(timeout_s=5.0)
+    eng.seed_urls([f"{server}/cat/0"], url_types=["root"])
+    eng.run(max_rounds=5)
+    state = {r["url"]: r["status"] for r in eng.frontier.latest_state(spark).collect()}
+    assert state[f"{server}/cat/0"] == "blocked"  # manual rule enforced
+    assert eng.images.read(spark).count() == 0
 
 
 def test_http_crawl_404_marks_failed(spark, server):

@@ -129,8 +129,14 @@ class DeltaTable:
             "boolean": pa.bool_(),
             "timestamp": pa.timestamp("us"),
         }
+
+        def _pa_type(dt):
+            if dt.typeName() == "array":
+                return pa.list_(_pa_type(dt.elementType))
+            return _pa_types[dt.typeName()]
+
         fields = [
-            pa.field(f.name, _pa_types[f.dataType.typeName()]) for f in self.schema.fields
+            pa.field(f.name, _pa_type(f.dataType)) for f in self.schema.fields
         ]
         cols = list(zip(*rows)) if rows else [[] for _ in fields]
         table = pa.table(

@@ -133,6 +133,9 @@ class CrawlEngine:
         self.images: DeltaTable = cat.table("images", IMAGES_SCHEMA)
         self.metrics: DeltaTable = cat.table("metrics", METRICS_SCHEMA)
         self.lineage: DeltaTable = cat.table("lineage", LINEAGE_SCHEMA)
+        # live robots cache (enable_auto_robots): fetched rows persist
+        # here so a restarted crawl never re-fetches a host's robots.txt
+        self.robots_table: DeltaTable = cat.table("robots", ROBOTS_SCHEMA)
         self.web_pages: DataFrame | None = None
         self.robots_df: DataFrame | None = None
         self._auto_robots: dict | None = None  # enable_auto_robots kwargs
@@ -181,6 +184,35 @@ class CrawlEngine:
         self._fetch_fn = make_http_fetch_fn(self.k_cap, **kwargs)
         self.web_pages = None
 
+    def set_url_classifier(self, rules: list[tuple[str, str]]) -> None:
+        """Production half of the U1 site-handler registry: ordered
+        (regex, url_type) rules that type DISCOVERED links in HTTP mode
+        (reference: root handlers enqueue product-TYPED links,
+        ``src/scrapper/queueService.go:30-68``,
+        ``amazonRootHandler.go:56-71`` — the type decides which handler,
+        and hence whether links are extracted, on the next hop). Without
+        rules every discovered link is a leaf and a real crawl can never
+        descend past its seeds; with e.g. ``[(r"/cat(/|$)", "root")]``
+        category pages discovered at any depth keep compounding the
+        frontier. First matching rule wins; no match falls through to
+        leaf. Compiled into a JVM-side CASE/rlike expression — the
+        classifier adds zero Python to the links pass."""
+        for _pat, t in rules:
+            assert t in (URL_TYPE_ROOT, "leaf", "dummy"), f"bad url_type {t!r}"
+        self._url_rules = list(rules)
+
+    def _classify_expr(self, url_col):
+        """CASE WHEN url rlike p1 THEN t1 ... ELSE NULL (downstream
+        coalesce defaults to leaf — the reference's behavior)."""
+        rules = getattr(self, "_url_rules", None)
+        if not rules:
+            return F.lit(None).cast("string")
+        out = None
+        for pat, t in rules:
+            cond = url_col.rlike(pat)
+            out = F.when(cond, F.lit(t)) if out is None else out.when(cond, F.lit(t))
+        return out.otherwise(F.lit(None).cast("string"))
+
     def set_robots(self, rows_or_df) -> None:
         """Install the per-host robots cache (enforced in scale mode as a
         broadcast join at schedule time; see operators/robots.py)."""
@@ -193,26 +225,54 @@ class CrawlEngine:
         """Live robots.txt caching (scale mode): at the start of each
         round, hosts in the pending set that are not yet in the cache get
         their /robots.txt fetched + parsed (operators/robots.
-        fetch_robots_rows) and merged into the robots table — each host
-        is fetched exactly once (the cache the north rule names). Pairs
-        with set_http_fetcher; kwargs (opener, timeout_s, scheme,
-        max_concurrency) pass through to the fetcher."""
+        fetch_robots_rows) and committed to the durable ``robots`` table —
+        each host is fetched exactly once ACROSS ENGINE RESTARTS (the
+        cache the north rule names; a restarted crawl reloads the table
+        instead of re-fetching every host). Rules previously installed via
+        ``set_robots()`` are kept as a manual overlay that wins per host —
+        an unreachable robots.txt (= 'no restrictions') can never erase a
+        manually configured disallow. Pairs with set_http_fetcher; kwargs
+        (opener, timeout_s, scheme, max_concurrency) pass through to the
+        fetcher."""
         self._auto_robots = fetch_kwargs
-        self._robots_rows: list[tuple] = []
-        self._robots_hosts: set[str] = set()
+        self._manual_robots_df = self.robots_df
+        self.robots_df = self._effective_robots_df()
+
+    def _effective_robots_df(self) -> DataFrame | None:
+        """Manual set_robots() rows overlaid on the durable cache table
+        (manual wins per host)."""
+        cached = (
+            self.robots_table.read(self.spark)
+            if self.robots_table.last_commit()
+            else None
+        )
+        manual = getattr(self, "_manual_robots_df", None)
+        if manual is None:
+            return cached
+        if cached is None:
+            return manual
+        return manual.unionByName(
+            cached.join(manual.select("host"), "host", "left_anti")
+        )
 
     def refresh_robots(self, sites: list[tuple[str, str]]) -> int:
-        """Fetch robots.txt for (host, base_url) pairs not yet cached;
-        rebuild robots_df. The bare host is the politeness/join key, the
-        base_url carries the authority (scheme + host:port) to fetch."""
+        """Fetch robots.txt for (host, base_url) pairs; commit the parsed
+        rows to the durable robots table and refresh the enforcement
+        DataFrame. Callers pass only hosts NOT already cached (run_round
+        anti-joins pending hosts against the cache — per-round driver
+        traffic is O(new hosts), zero in steady state). The bare host is
+        the politeness/join key, the base_url carries the authority
+        (scheme + host:port) to fetch."""
         from .operators.robots import fetch_robots_rows
 
-        new = sorted({s for s in sites if s[0] not in self._robots_hosts})
+        new = sorted(set(sites))
         if not new:
             return 0
-        self._robots_rows.extend(fetch_robots_rows(new, **self._auto_robots))
-        self._robots_hosts.update(h for h, _ in new)
-        self.robots_df = self.spark.createDataFrame(self._robots_rows, ROBOTS_SCHEMA)
+        rows = fetch_robots_rows(new, **self._auto_robots)
+        # tiny metadata commit, driver-side (catalog.append_rows): host-
+        # cardinality rows, no Spark job on the round's serial path
+        self.robots_table.append_rows(rows, meta={"op": "robots_fetch"})
+        self.robots_df = self._effective_robots_df()
         return len(new)
 
     # -- seeding -----------------------------------------------------------
@@ -225,6 +285,10 @@ class CrawlEngine:
         ``url_types`` overrides per-seed page class (the reference client
         types its seeds explicitly, src/client/main.go:96-107) — required
         in HTTP mode, where there is no page table to look kinds up in."""
+        if url_types is not None and len(url_types) != len(urls):
+            raise ValueError(
+                f"url_types length {len(url_types)} != urls length {len(urls)}"
+            )
         canon = list(canonicalize_series(pd.Series(urls)))
         ucid = self.frontier.last_commit() + 1
         start = 0
@@ -321,7 +385,17 @@ class CrawlEngine:
             self.reclaim_expired_leases()
             mark("reclaim")
         carry = self._carry
-        if carry is not None and carry[0] == self.frontier.last_commit():
+        carry_ok = carry is not None and carry[0] == self.frontier.last_commit()
+        # carry hygiene: the carried scalars assume one stage-result row
+        # per batch row and no link dedup. Rather than trust that forever,
+        # the exact head aggregate re-runs every `compact_every` (or 64)
+        # rounds — a bounded self-healing term — and WEAVER_DEBUG_CARRY=1
+        # asserts carry == aggregate every round (used in tests so drift
+        # fails loudly instead of ending crawls early / running phantom
+        # rounds).
+        debug_carry = os.environ.get("WEAVER_DEBUG_CARRY") == "1"
+        refresh_every = self.compact_every or 64
+        if carry_ok and not debug_carry and round_no % refresh_every != 0:
             n_pending, max_seq = carry[1], carry[2]
             if not n_pending:
                 return None  # drained — decided without launching a job
@@ -339,29 +413,37 @@ class CrawlEngine:
                 F.max("enqueue_seq").alias("max_seq"),
             ).collect()[0]
             mark("head_agg")
-            if not head["n_pending"]:
+            n_pending = head["n_pending"] or 0
+            max_seq = head["max_seq"] or 0
+            if carry_ok and debug_carry:
+                assert (n_pending, max_seq) == (carry[1], carry[2]), (
+                    f"carry desync: carried {carry[1:]} vs exact "
+                    f"({n_pending}, {max_seq})"
+                )
+            if not n_pending:
                 state.unpersist()
                 return None
-            n_pending = head["n_pending"]
-            max_seq = head["max_seq"] or 0
 
         # schedule the batch
         cand = pending
         n_blocked = 0
         if self.mode == "scale" and getattr(self, "_auto_robots", None) is not None:
-            # robots cache fill for hosts first seen this round: a
-            # host-cardinality collect (small by construction; at 10^7
-            # hosts this moves into its own table-refresh job)
-            sites = (
-                pending.groupBy("host")
-                .agg(
-                    F.min(
-                        F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*://[^/]+)", 1)
-                    ).alias("site")
-                )
-                .collect()
+            # robots cache fill for hosts first seen this round: pending
+            # hosts ANTI-JOINED against the cached host set (broadcast —
+            # the robots side is host-cardinality), so the driver only
+            # ever collects hosts that are genuinely new. Steady state
+            # collects zero rows; total driver traffic over a crawl is
+            # O(distinct hosts), not O(rounds x pending hosts).
+            sites = pending.groupBy("host").agg(
+                F.min(
+                    F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*://[^/]+)", 1)
+                ).alias("site")
             )
-            self.refresh_robots([(r["host"], r["site"]) for r in sites])
+            if self.robots_df is not None:
+                sites = sites.join(
+                    F.broadcast(self.robots_df.select("host")), "host", "left_anti"
+                )
+            self.refresh_robots([(r["host"], r["site"]) for r in sites.collect()])
             mark("robots_fetch")
         if self.mode == "scale" and self.robots_df is not None:
             # robots enforcement: broadcast join, map-side split — the
@@ -649,13 +731,14 @@ class CrawlEngine:
                 typed = links.join(pages.select("url", "kind"), "url", "left")
             else:
                 # http mode: hrefs may be relative — resolve vs parent;
-                # discovered links are product/leaf pages (the reference
-                # root handlers enqueue product-typed links)
+                # discovered links are typed by the URL classifier rules
+                # (set_url_classifier), default leaf — the reference root
+                # handlers enqueue product-typed links
                 links = links.withColumn(
                     "url",
                     _resolve_canonicalize_udf(F.col("parent_url"), F.col("raw_url")),
                 )
-                typed = links.withColumn("kind", F.lit(None).cast("string"))
+                typed = links.withColumn("kind", self._classify_expr(F.col("url")))
             with_seq, seq_pin = dense_seq(
                 typed, ["parent_seq", "link_pos"], start=max_seq + 1
             )
