@@ -222,6 +222,19 @@ class DeltaTable:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*dirs)
 
+    def read_since(self, spark: SparkSession, after_cid: int) -> DataFrame:
+        """Rows appended by commits AFTER ``after_cid`` (tombstones
+        excluded) — the incremental-consumer read: a restarted seen-set
+        filter catches up from its saved watermark in O(delta), never
+        re-scanning the whole table."""
+        dirs: list[str] = []
+        for cid, m in self._live_manifests(None):
+            if cid > after_cid and not m.get("tombstone"):
+                dirs.extend(m["files"])
+        if not dirs:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*dirs)
+
     def _tombstone_schema(self) -> StructType:
         key_field = next(f for f in self.schema.fields if f.name == self.key)
         return StructType(

@@ -55,7 +55,7 @@ from .functions.urls import canonicalize_series, resolve_series
 from .operators.fetch import make_synthetic_fetch_fn
 from .operators.ranking import budget_rank, dense_seq, topk_per_group
 from .operators.robots import DELAY_CAP_COL, apply_robots
-from .operators.seen import antijoin_bloom, antijoin_exact
+from .operators.seen import BloomSeenSet, antijoin_bloom, antijoin_exact
 from .schemas import (
     FETCH_RESULT_SCHEMA,
     FRONTIER_SCHEMA,
@@ -124,7 +124,13 @@ class CrawlEngine:
             seen_filter = "bloom" if use_bloom else "exact"
         assert seen_filter in ("exact", "bloom", "cuckoo")
         self.seen_filter = seen_filter
-        self._cuckoo = None  # persistent cross-round filter (cuckoo mode)
+        # persistent cross-round seen filters: built once, maintained by
+        # per-round distributed inserts of newly-stored keys (never an
+        # O(seen)-per-round rebuild); cuckoo state also checkpoints to
+        # the warehouse so restarts resume from a watermark
+        self._cuckoo = None
+        self._bloom = None
+        self._cuckoo_dir = os.path.join(warehouse, "_filters", "cuckoo")
         self.track_leases = track_leases
         self.lease_timeout_s = lease_timeout_s
         self.seed = seed
@@ -550,32 +556,73 @@ class CrawlEngine:
         firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
         seen_keys = self.images.read(spark).select("image_id")
         if self.seen_filter == "bloom":
-            seen_count = seen_keys.count()
+            # persistent filter: built ONCE with 4x headroom, then
+            # maintained by OR-ing in each round's stored keys (bitmaps
+            # merge trivially — BloomSeenSet.insert_df below). No
+            # per-round seen count, no O(seen) rebuild; rebuilt only when
+            # inserts outgrow the sized capacity (amortized doubling).
+            # Stale bits after rollback/purge are false positives only —
+            # the exact confirm is always authoritative.
+            if self._bloom is not None and self._bloom.over_capacity:
+                self._bloom = None
+            if self._bloom is None:
+                seen_count = seen_keys.count()
+                self._bloom = BloomSeenSet.build(
+                    seen_keys,
+                    "image_id",
+                    expected_items=max(seen_count * 4, 4096),
+                    n_shards=4,
+                )
             winner_keys = antijoin_bloom(
-                firsts, seen_keys, "image_id", expected_items=max(seen_count, 1024)
+                firsts, seen_keys, "image_id", filt=self._bloom
             )
         elif self.seen_filter == "cuckoo":
             from .operators.cuckoo import CuckooSeenSet, antijoin_cuckoo
 
-            # persistent filter: built once (4x headroom for growth),
-            # then maintained by per-round inserts of newly-stored keys
-            # below — never rebuilt from the full seen set unless a
-            # shard saturates (O(seen)-per-round rebuilds are the shape
-            # the 10^10 design forbids). Rollbacks/external deletes only
-            # leave stale fingerprints = false positives = exact-confirm
-            # traffic, never a wrong result.
+            # persistent filter: reloaded from its warehouse checkpoint
+            # (catching up commits past the saved watermark in O(delta))
+            # or built once (4x headroom), then maintained by the
+            # one-task-per-shard distributed insert below — never rebuilt
+            # from the full seen set unless a shard saturates
+            # (O(seen)-per-round rebuilds are the shape the 10^10 design
+            # forbids). Rollbacks/external deletes only leave stale
+            # fingerprints = false positives = exact-confirm traffic,
+            # never a wrong result.
             if self._cuckoo is not None and self._cuckoo.saturated.any():
                 self._cuckoo = None
+            if self._cuckoo is None:
+                loaded = CuckooSeenSet.load(self._cuckoo_dir)
+                if loaded is not None:
+                    filt, wm = loaded
+                    cur = self.images.last_commit()
+                    if wm < cur:  # crash between images commit and save
+                        filt.insert_df(
+                            self.images.read_since(spark, wm).select("image_id"),
+                            "image_id",
+                        )
+                    # wm >= cur (incl. rollback past the save): superset —
+                    # stale fingerprints are false positives only
+                    if not filt.saturated.any():
+                        if wm < cur:
+                            filt.save(self._cuckoo_dir, cur)
+                        self._cuckoo = filt
             if self._cuckoo is None:
                 seen_count = seen_keys.count()
                 self._cuckoo = CuckooSeenSet.build(
                     seen_keys, "image_id", expected_items=max(seen_count * 4, 4096)
                 )
+                self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
             winner_keys = antijoin_cuckoo(
                 firsts, seen_keys, "image_id", expected_items=0, filt=self._cuckoo
             )
         else:
             winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
+        if self.seen_filter in ("bloom", "cuckoo"):
+            # the winners pipeline feeds both the fetch stage and the
+            # filter-maintenance job — pin it so maintenance reuses the
+            # computed keys instead of re-running the firsts window +
+            # probe
+            winner_keys = winner_keys.persist()
         fetch_input = fetch_input.join(
             winner_keys.select("enqueue_seq").withColumn("_store", F.lit(True)),
             "enqueue_seq",
@@ -667,14 +714,21 @@ class CrawlEngine:
                 p_dir, meta={"op": "merge", "round": round_no}
             )
             adopted_dir = self.images._read_manifest(img_commit)["files"][0]
-        # cuckoo maintenance: the round's stored keys enter the
-        # persistent filter (one tiny keys-only job; see filter branch)
-        if self.seen_filter == "cuckoo" and img_commit is not None:
-            from .operators.cuckoo import spark_key_hasher
-
-            self._cuckoo.insert_hashes(
-                *spark_key_hasher(spark, winner_keys.select("image_id"), "image_id")
-            )
+        # filter maintenance: the round's stored keys enter the
+        # persistent filter via its DISTRIBUTED insert path (bloom: one
+        # partial bitmap per task, OR-merged; cuckoo: one task per shard
+        # returning one blob) — the driver receives fixed-size blobs,
+        # never per-key rows. Cuckoo state checkpoints to the warehouse
+        # so a restart resumes from the watermark.
+        if img_commit is not None and self.seen_filter in ("bloom", "cuckoo"):
+            new_keys = winner_keys.select("image_id")
+            if self.seen_filter == "bloom":
+                self._bloom.insert_df(new_keys, "image_id")
+            else:
+                self._cuckoo.insert_df(new_keys, "image_id")
+                self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
+        if self.seen_filter in ("bloom", "cuckoo"):
+            winner_keys.unpersist()
         # the adoption MOVED sink=p: rebind downstream consumers to the
         # surviving locations (same rows, new paths)
         meta_dirs = [d for d in leaf_dirs if d != p_dir]
@@ -873,6 +927,21 @@ class CrawlEngine:
         self.lineage.rollback(n_lineage_commits)
         self._next_round = None  # recompute from lineage next round
         self._carry = None  # head scalars no longer describe the log
+        # the in-memory seen filters (_bloom/_cuckoo) deliberately stay
+        # STALE-BUT-SAFE: they may keep fingerprints of rolled-back keys
+        # (false positives → exact-confirm traffic only) but still cover
+        # every key in the rolled-back table, so they can never report a
+        # stored key as new (tests/test_seen_persistence.py pins this).
+        # The cuckoo CHECKPOINT needs care though: commit ids are REUSED
+        # after rollback (catalog semantics), so a saved watermark could
+        # alias future commits and silently skip their catch-up. Re-stamp
+        # the superset filter at the rolled-back commit, or drop the
+        # checkpoint if there is no live filter to re-stamp.
+        if self.seen_filter == "cuckoo":
+            if self._cuckoo is not None and not self._cuckoo.saturated.any():
+                self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
+            else:
+                shutil.rmtree(self._cuckoo_dir, ignore_errors=True)
 
     # -- reporting -----------------------------------------------------------
 

@@ -42,6 +42,7 @@ hazards are closed conservatively:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -122,6 +123,7 @@ class CuckooSeenSet:
         # deletion support: buckets whose contents were mutated by a
         # delete — probes there must exact-confirm (see module docstring)
         self.dirty: set[tuple[int, int]] = set()
+        self._bc = None  # cached probe broadcast (invalidated on mutation)
 
     @property
     def n_shards(self) -> int:
@@ -199,12 +201,29 @@ class CuckooSeenSet:
                     hit[j] = True
         return hit
 
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.destroy()
+            except Exception:
+                pass
+            self._bc = None
+
+    def _broadcast(self, spark):
+        """One broadcast per filter VERSION: reused across probe calls
+        and rounds until a mutation (insert/delete) invalidates it — a
+        fresh broadcast of the full shard array per call leaks driver/
+        executor memory over long crawls."""
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(
+                (self.n_buckets, self.slots, self.shards, self.saturated, self.dirty)
+            )
+        return self._bc
+
     def might_contain_udf(self, spark):
         """Vectorized probe over (_bh1, _bh2) — same contract as
         BloomSeenSet.might_contain_udf."""
-        bc = spark.sparkContext.broadcast(
-            (self.n_buckets, self.slots, self.shards, self.saturated, self.dirty)
-        )
+        bc = self._broadcast(spark)
         n_shards = self.n_shards
 
         @F.pandas_udf(BooleanType())
@@ -220,6 +239,126 @@ class CuckooSeenSet:
             )
 
         return probe
+
+    # -- distributed maintenance ------------------------------------------
+
+    def insert_df(self, key_df: DataFrame, key: str) -> bool:
+        """One-task-per-shard DISTRIBUTED insert — the cross-round
+        maintenance path at scale: new keys repartition by shard id (the
+        same grouping as build), each task copies its shard's table out
+        of the probe broadcast, runs the sequential kick loop, and
+        returns one blob. Driver traffic is one blob per TOUCHED shard —
+        independent of key count — replacing the old per-key
+        ``spark_key_hasher().collect()`` hot-loop term. A shard that
+        overflows degrades to saturated (always-maybe-seen, exact-
+        confirmed); returns False so the caller can schedule a larger
+        rebuild."""
+        spark = key_df.sparkSession
+        hashed = (
+            _hash_cols(key_df.select(key).distinct(), key)
+            .select("_bh1", "_bh2")
+            .withColumn("_shard", F.pmod(F.col("_bh1"), F.lit(self.n_shards)))
+        )
+        bc = self._broadcast(spark)
+        m, slots = self.n_buckets, self.slots
+
+        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["_shard"].iloc[0])
+            _m, _slots, shards, saturated, _dirty = bc.value
+            if saturated[sid]:  # already degraded: nothing to maintain
+                return pd.DataFrame(
+                    {"shard": [sid], "blob": [b""], "saturated": [True]}
+                )
+            table = shards[sid].copy()
+            h1 = pdf["_bh1"].to_numpy(np.uint64)
+            fp_arr = _fp_of(pdf["_bh2"].to_numpy(np.uint64))
+            i1_arr = _i1_of(h1, m)
+            rng = np.random.default_rng(sid)
+            sat = False
+            for j in range(len(fp_arr)):
+                if not _insert_one(table, int(i1_arr[j]), int(fp_arr[j]), slots, rng):
+                    sat = True
+                    break
+            return pd.DataFrame(
+                {"shard": [sid], "blob": [table.tobytes()], "saturated": [sat]}
+            )
+
+        rows = (
+            hashed.groupBy("_shard")
+            .applyInPandas(upd, "shard long, blob binary, saturated boolean")
+            .collect()
+        )
+        ok = True
+        for r in rows:
+            if r["blob"]:
+                self.shards[r["shard"]] = np.frombuffer(
+                    r["blob"], dtype=np.uint16
+                ).reshape(m, slots).copy()
+            if r["saturated"]:
+                self.saturated[r["shard"]] = True
+                ok = False
+        self._invalidate_broadcast()
+        return ok
+
+    # -- persistence (restart without the O(seen) rebuild) -----------------
+
+    def save(self, dirpath: str, watermark: int) -> None:
+        """Persist shard blobs + metadata under the warehouse (the same
+        crash discipline as the catalog: blob file first, then the
+        ``current.json`` pointer via write-temp + atomic rename).
+        ``watermark`` records the images-table commit the filter covers —
+        ``load`` catches up any later commits' keys incrementally, so a
+        restart costs O(keys since last save), never O(seen)."""
+        import json
+        import secrets
+
+        os.makedirs(dirpath, exist_ok=True)
+        token = secrets.token_hex(4)
+        blob = f"state-{token}.npz"
+        dirty = np.array(sorted(self.dirty), dtype=np.int64).reshape(-1, 2)
+        np.savez(
+            os.path.join(dirpath, blob),
+            shards=self.shards,
+            saturated=self.saturated,
+            dirty=dirty,
+        )
+        meta = {
+            "file": blob,
+            "watermark": watermark,
+            "n_buckets": self.n_buckets,
+            "slots": self.slots,
+        }
+        tmp = os.path.join(dirpath, f".tmp-{token}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        cur = os.path.join(dirpath, "current.json")
+        os.rename(tmp, cur)  # POSIX-atomic pointer swap
+        for fn in os.listdir(dirpath):  # retire superseded blobs
+            if fn.startswith("state-") and fn != blob:
+                try:
+                    os.remove(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+
+    @staticmethod
+    def load(dirpath: str) -> tuple["CuckooSeenSet", int] | None:
+        """Reload a saved filter; returns (filter, watermark) or None if
+        nothing (readable) is persisted."""
+        import json
+
+        cur = os.path.join(dirpath, "current.json")
+        try:
+            with open(cur) as f:
+                meta = json.load(f)
+            with np.load(os.path.join(dirpath, meta["file"])) as z:
+                shards = z["shards"].copy()
+                saturated = z["saturated"].copy()
+                dirty = z["dirty"]
+        except (OSError, KeyError, ValueError):
+            return None
+        filt = CuckooSeenSet(meta["n_buckets"], meta["slots"], shards, saturated)
+        filt.dirty = {(int(a), int(b)) for a, b in dirty}
+        return filt, int(meta["watermark"])
 
     # -- deletion (the capability Bloom lacks) -----------------------------
 
@@ -246,6 +385,7 @@ class CuckooSeenSet:
             if not _insert_one(self.shards[s], int(i1[j]), int(fp[j]), self.slots, rng):
                 self.saturated[s] = True
                 ok = False
+        self._invalidate_broadcast()
         return ok
 
     def delete_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
@@ -270,6 +410,7 @@ class CuckooSeenSet:
                     self.dirty.add((int(shard[j]), b))
                     removed += 1
                     break
+        self._invalidate_broadcast()
         return removed
 
 

@@ -49,43 +49,53 @@ def _hash_cols(df: DataFrame, key: str) -> DataFrame:
 
 
 class BloomSeenSet:
-    """Sharded Bloom filter built distributed, probed via broadcast."""
+    """Sharded Bloom filter built distributed, probed via broadcast.
 
-    def __init__(self, bits_per_shard: int, n_hashes: int, shards: np.ndarray):
+    Designed as a PERSISTENT cross-round filter: build once with headroom
+    (``expected_items`` beyond the current seen count), then OR in each
+    round's newly-stored keys with ``insert_df`` — bitmaps merge by OR,
+    so the incremental insert is a distributed O(new keys) pass with one
+    tiny blob per task back to the driver, never an O(seen) rebuild.
+    ``n_inserted`` tracks load; when it passes ``capacity`` the caller
+    rebuilds with more headroom (amortized O(1) per key, the classic
+    doubling argument)."""
+
+    def __init__(
+        self,
+        bits_per_shard: int,
+        n_hashes: int,
+        shards: np.ndarray,
+        capacity: int = 0,
+        n_inserted: int = 0,
+    ):
         self.bits_per_shard = bits_per_shard
         self.n_hashes = n_hashes
         self.shards = shards  # (n_shards, bits/8) uint8
+        self.capacity = capacity  # expected_items the bit count was sized for
+        self.n_inserted = n_inserted  # keys hashed in (dup-counting upper bound)
+        self._bc = None  # cached probe broadcast (invalidated on mutation)
 
     @property
     def n_shards(self) -> int:
         return self.shards.shape[0]
 
     @staticmethod
-    def build(
-        df: DataFrame,
-        key: str,
-        expected_items: int,
-        fpp: float = 0.01,
-        n_shards: int = 1,
-        max_bits_per_shard: int = 1 << 27,
-    ) -> "BloomSeenSet":
-        """One distributed pass: per-partition partial bitmaps, OR-reduced
-        on the driver (each partial is bits/8 bytes, tiny vs the data)."""
-        m_total = max(64, int(-expected_items * math.log(max(fpp, 1e-9)) / (math.log(2) ** 2)))
-        k = max(1, round(m_total / max(expected_items, 1) * math.log(2)))
-        bits = min(max_bits_per_shard, -(-m_total // n_shards))
-        bits = 1 << (bits - 1).bit_length()  # pow2 so % is a mask
+    def _or_pass(
+        df: DataFrame, key: str, bits: int, k: int, n_shards: int
+    ) -> tuple[np.ndarray, int]:
+        """One distributed pass over keys: per-partition partial bitmaps
+        (+ row counts), OR-reduced on the driver. Each partial is bits/8
+        bytes per shard — tiny vs the data."""
         n_bytes = bits // 8
-
         hashed = _hash_cols(df.select(key), key).select("_bh1", "_bh2")
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             buf = np.zeros((n_shards, n_bytes), dtype=np.uint8)
-            touched = False
+            n = 0
             for pdf in batches:
                 if not len(pdf):
                     continue
-                touched = True
+                n += len(pdf)
                 h1 = pdf["_bh1"].to_numpy(np.uint64)
                 h2 = pdf["_bh2"].to_numpy(np.uint64)
                 shard = (h1 % np.uint64(n_shards)).astype(np.int64)
@@ -96,22 +106,75 @@ class BloomSeenSet:
                         np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)
                     )
                     np.bitwise_or.at(buf, (shard, byte_i), mask)
-            if touched:
-                yield pd.DataFrame({"shard_blob": [buf.tobytes()]})
+            if n:
+                yield pd.DataFrame({"shard_blob": [buf.tobytes()], "n": [n]})
 
-        parts = hashed.mapInPandas(partial, "shard_blob binary").collect()
+        parts = hashed.mapInPandas(partial, "shard_blob binary, n long").collect()
         acc = np.zeros((n_shards, n_bytes), dtype=np.uint8)
+        total = 0
         for row in parts:
             acc |= np.frombuffer(row["shard_blob"], dtype=np.uint8).reshape(
                 n_shards, n_bytes
             )
-        return BloomSeenSet(bits, k, acc)
+            total += row["n"]
+        return acc, total
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        key: str,
+        expected_items: int,
+        fpp: float = 0.01,
+        n_shards: int = 1,
+        max_bits_per_shard: int = 1 << 27,
+    ) -> "BloomSeenSet":
+        m_total = max(64, int(-expected_items * math.log(max(fpp, 1e-9)) / (math.log(2) ** 2)))
+        k = max(1, round(m_total / max(expected_items, 1) * math.log(2)))
+        bits = min(max_bits_per_shard, -(-m_total // n_shards))
+        bits = 1 << (bits - 1).bit_length()  # pow2 so % is a mask
+        acc, n = BloomSeenSet._or_pass(df, key, bits, k, n_shards)
+        return BloomSeenSet(bits, k, acc, capacity=expected_items, n_inserted=n)
+
+    def insert_df(self, df: DataFrame, key: str) -> None:
+        """OR in new keys (the cross-round maintenance path): a partial
+        bitmap built over ONLY the new keys with this filter's exact
+        (bits, k, shards) parameters, merged by bitwise OR. Distributed,
+        O(new keys), no per-key driver traffic."""
+        delta, n = BloomSeenSet._or_pass(
+            df, key, self.bits_per_shard, self.n_hashes, self.n_shards
+        )
+        self.shards |= delta
+        self.n_inserted += n
+        self._invalidate_broadcast()
+
+    @property
+    def over_capacity(self) -> bool:
+        """Inserts exceeded the bit-count sizing — fpp is degrading and
+        the owner should rebuild with more headroom. Correctness is never
+        at stake (higher fpp only routes more rows to the exact join)."""
+        return self.n_inserted > self.capacity
+
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.destroy()
+            except Exception:
+                pass
+            self._bc = None
+
+    def _broadcast(self, spark):
+        """One broadcast per filter VERSION: reused across rounds until a
+        mutation invalidates it (a fresh broadcast per probe call leaks
+        driver/executor memory over long crawls)."""
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(
+                (self.bits_per_shard, self.n_hashes, self.shards)
+            )
+        return self._bc
 
     def might_contain_udf(self, spark):
         """Vectorized membership probe as a pandas UDF over (_bh1, _bh2)."""
-        bc = spark.sparkContext.broadcast(
-            (self.bits_per_shard, self.n_hashes, self.shards)
-        )
+        bc = self._broadcast(spark)
 
         @F.pandas_udf(BooleanType())
         def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
@@ -153,14 +216,17 @@ def antijoin_bloom(
     candidates: DataFrame,
     seen: DataFrame,
     key: str,
-    expected_items: int,
+    expected_items: int = 0,
     fpp: float = 0.01,
     n_shards: int = 4,
+    filt: BloomSeenSet | None = None,
 ) -> DataFrame:
     """Bloom prefilter + exact confirm. Result == antijoin_exact always;
-    the bloom only routes definitely-new rows around the join."""
+    the bloom only routes definitely-new rows around the join. Pass a
+    prebuilt ``filt`` to reuse the persistent cross-round filter instead
+    of rebuilding from ``seen``."""
     spark = candidates.sparkSession
-    bloom = BloomSeenSet.build(seen, key, expected_items, fpp, n_shards)
+    bloom = filt or BloomSeenSet.build(seen, key, expected_items, fpp, n_shards)
     probe = bloom.might_contain_udf(spark)
     hashed = _hash_cols(candidates, key).withColumn(
         "_maybe_seen", probe(F.col("_bh1"), F.col("_bh2"))
