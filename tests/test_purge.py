@@ -1,0 +1,73 @@
+"""Engine-level keyed purge (reference DHT Del,
+/root/reference/src/node/chord_interface.go:68-91; the GDPR path):
+one `purge_images` call makes the key invisible to gather and the
+storage-dedup seen set, keeps the purge durable across restarts, lets
+the next enqueue of the same URL re-fetch AND re-store the key, and is
+undone by rollback to a pre-purge round."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaver_spark.engine import CrawlEngine
+from weaver_spark.webgen import make_web
+
+
+@pytest.mark.parametrize("filt", ["exact", "cuckoo"])
+def test_purge_refetch_rollback(spark, tmp_path, filt):
+    web = make_web(seed=5, n_hosts=3, n_seed_roots=2, depth=1)
+    wh = str(tmp_path / f"wh_{filt}")
+    eng = CrawlEngine(spark, wh, mode="reproduction", seen_filter=filt)
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    pre_round = eng.current_round() - 1
+    gather0 = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.gather().collect()
+    }
+    url, key = next(
+        (u, p["image_id"])
+        for u, p in web.pages.items()
+        if p["kind"] == "leaf" and p["image_id"] in gather0
+    )
+
+    eng.purge_images([key])
+
+    # gather excludes the purged key immediately; the physical row stays
+    # on disk until compaction/vacuum (merge-on-read delete semantics)
+    assert {r["image_id"] for r in eng.gather().collect()} == set(gather0) - {key}
+    assert eng.images.read(spark).where(F.col("image_id") == key).count() == 1
+
+    # the purge is durable: a fresh engine on the same warehouse agrees
+    eng_r = CrawlEngine(spark, wh, mode="reproduction", seen_filter=filt)
+    assert {r["image_id"] for r in eng_r.gather().collect()} == set(gather0) - {key}
+
+    # re-enqueue the purged key's URL: the seen set no longer contains it,
+    # so it is fetched and STORED again — same deterministic payload
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.run(max_rounds=5)
+    g2 = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.gather().collect()
+    }
+    assert set(g2) == set(gather0)
+    assert g2[key] == gather0[key]
+    assert eng.gather().count() == len(gather0)  # one live row per key
+    # the log now holds BOTH rows for the key (append-only history)...
+    assert eng.images.read(spark).where(F.col("image_id") == key).count() == 2
+
+    # ...and rollback to the pre-purge round restores the original view
+    eng.rollback_to_round(pre_round)
+    assert {r["image_id"] for r in eng.gather().collect()} == set(gather0)
+    assert eng.purges.last_commit() == 0  # purge commit rolled back
+
+
+def test_purge_unknown_key_is_harmless(spark, tmp_path):
+    web = make_web(seed=6, n_hosts=2, n_seed_roots=1, depth=1)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    n = eng.gather().count()
+    eng.purge_images(["no-such-key"])
+    assert eng.gather().count() == n

@@ -211,16 +211,25 @@ class DeltaTable:
             out.append((cid, self._read_manifest(cid)))
         return out
 
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
         """Union of all committed data rows (optionally as of a past
-        commit). Tombstone commits are not data — append-only log view."""
+        commit). Tombstone commits are not data — append-only log view.
+        ``schema`` overrides the table schema to surface extra physical
+        columns the writers carried (adopted fetch-stage files keep e.g.
+        enqueue_seq beyond IMAGES_SCHEMA; absent columns read as null)."""
+        schema = schema or self.schema
         dirs: list[str] = []
         for _cid, m in self._live_manifests(as_of):
             if not m.get("tombstone"):
                 dirs.extend(m["files"])
         if not dirs:
-            return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*dirs)
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
 
     def read_since(self, spark: SparkSession, after_cid: int) -> DataFrame:
         """Rows appended by commits AFTER ``after_cid`` (tombstones

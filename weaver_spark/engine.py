@@ -62,6 +62,7 @@ from .schemas import (
     IMAGES_SCHEMA,
     LINEAGE_SCHEMA,
     METRICS_SCHEMA,
+    PURGES_SCHEMA,
     ROBOTS_SCHEMA,
     SINK_PAYLOAD,
     STAGE_SCHEMA,
@@ -142,6 +143,8 @@ class CrawlEngine:
         # live robots cache (enable_auto_robots): fetched rows persist
         # here so a restarted crawl never re-fetches a host's robots.txt
         self.robots_table: DeltaTable = cat.table("robots", ROBOTS_SCHEMA)
+        # keyed purges over the append-only images log (purge_images)
+        self.purges: DeltaTable = cat.table("purges", PURGES_SCHEMA)
         self.web_pages: DataFrame | None = None
         self.robots_df: DataFrame | None = None
         self._auto_robots: dict | None = None  # enable_auto_robots kwargs
@@ -360,6 +363,95 @@ class CrawlEngine:
         updates.unpersist()
         return n
 
+    # -- purge (reference DHT Del, src/node/chord_interface.go:68-91) ------
+
+    def _images_keys_schema(self):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return StructType(
+            [
+                IMAGES_SCHEMA["image_id"],
+                StructField("enqueue_seq", LongType(), True),
+            ]
+        )
+
+    def _seen_keys_df(self) -> DataFrame:
+        """Authoritative seen set: stored payload keys minus purged keys.
+
+        Merge-on-read over two logs: the images table stays append-only
+        (adopted fetch-stage files carry ``enqueue_seq`` beyond the table
+        schema), and the purges table holds (key, purge_seq) tombstones.
+        A key is seen iff it has a stored row with
+        ``enqueue_seq > max(purge_seq)`` — re-stores always ride a NEW
+        enqueue event, so they revive the key while the purged row stays
+        dead. The purges side is human-action-cardinality → broadcast;
+        the images side is never shuffled or windowed."""
+        keys = self.images.read(
+            self.spark, schema=self._images_keys_schema()
+        )
+        if not self.purges.last_commit():
+            return keys.select("image_id")
+        p = self.purges.read(self.spark).groupBy("image_id").agg(
+            F.max("purge_seq").alias("_purge_seq")
+        )
+        return (
+            keys.join(F.broadcast(p), "image_id", "left")
+            .where(
+                F.col("_purge_seq").isNull()
+                | (F.col("enqueue_seq") > F.col("_purge_seq"))
+            )
+            .select("image_id")
+        )
+
+    def _current_max_seq(self) -> int:
+        carry = self._carry
+        if carry is not None and carry[0] == self.frontier.last_commit():
+            return carry[2]
+        m = (
+            self.frontier.read(self.spark)
+            .agg(F.max("enqueue_seq").alias("m"))
+            .collect()[0]["m"]
+        )
+        return m if m is not None else -1
+
+    def purge_images(self, image_ids: list[str]) -> int:
+        """Engine-level keyed purge (the GDPR path; reference Del,
+        ``src/node/chord_interface.go:68-91``) — ONE call composing the
+        pieces that previously existed separately:
+
+        1. a purge tombstone commit (merge-on-read): ``gather`` and the
+           storage-dedup anti-join exclude the key immediately, so the
+           next ENQUEUE of its URL re-fetches and re-stores it;
+        2. cuckoo fingerprint deletion (dirty-bucket exactness,
+           operators/cuckoo.delete_hashes) + checkpoint re-save — bloom
+           cannot delete, so its stale bits stay as false positives that
+           the exact confirm absorbs;
+        3. a round-stamped manifest, so ``rollback_to_round`` to a
+           pre-purge round restores the pre-purge view.
+
+        Physical payload bytes remain on disk until compaction/vacuum
+        (Iceberg v2 merge-on-read delete semantics). Returns the purge
+        commit id."""
+        assert image_ids, "purge_images needs at least one key"
+        max_seq = self._current_max_seq()
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        cid = self.purges.append_rows(
+            [(k, max_seq, now) for k in sorted(set(image_ids))],
+            meta={"op": "purge", "round": self.current_round(), "n": len(image_ids)},
+        )
+        if self._cuckoo is not None:
+            from .operators.cuckoo import spark_key_hasher
+
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in image_ids], "image_id string"
+            )
+            self._cuckoo.delete_hashes(
+                *spark_key_hasher(self.spark, keys_df, "image_id")
+            )
+            if not self._cuckoo.saturated.any():
+                self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
+        return cid
+
     # -- the round ---------------------------------------------------------
 
     def current_round(self) -> int:
@@ -554,7 +646,7 @@ class CrawlEngine:
                 F.col("url_type") != URL_TYPE_ROOT
             ).select("enqueue_seq", F.col("url").alias("image_id"))
         firsts = topk_per_group(payload_keys, ["image_id"], ["enqueue_seq"], 1)
-        seen_keys = self.images.read(spark).select("image_id")
+        seen_keys = self._seen_keys_df()  # stored minus purged (purge API)
         if self.seen_filter == "bloom":
             # persistent filter: built ONCE with 4x headroom, then
             # maintained by OR-ing in each round's stored keys (bitmaps
@@ -863,9 +955,13 @@ class CrawlEngine:
         # tiny metadata commit — driver-side pyarrow write (catalog
         # append_rows), not a Spark job: Iceberg-style snapshot
         # bookkeeping is catalog work, and a per-round Spark stage for 3
-        # rows is a serial term the scaling ratio pays at both N and 4N
+        # rows is a serial term the scaling ratio pays at both N and 4N.
+        # meta round lets rollback_to_round restore lineage by CONTENT
+        # (purge commits interleave, so commit index != round).
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        self.lineage.append_rows([(*r, now) for r in lin_rows])
+        self.lineage.append_rows(
+            [(*r, now) for r in lin_rows], meta={"round": round_no}
+        )
 
         mark("lineage_append")
         stats = {
@@ -919,12 +1015,30 @@ class CrawlEngine:
             .agg(F.max("commit_id").alias("commit_id"))
             .collect()
         }
-        # lineage itself: keep one commit per round -> commit index == round+1
         self.frontier.rollback(last.get("frontier", 0) or 0)
         self.images.rollback(last.get("images", 0) or 0)
         self.metrics.rollback(last.get("metrics", 0) or 0)
-        n_lineage_commits = round_no + 1
-        self.lineage.rollback(n_lineage_commits)
+
+        # lineage + purges roll back by their manifests' meta round (a
+        # purge between rounds owns its own commit, so commit index !=
+        # round; legacy lineage commits without meta fall back to the
+        # one-commit-per-round index rule)
+        def _keep_by_round(table: DeltaTable, legacy_index: bool) -> int:
+            keep = 0
+            for cid in table.commits():
+                r = table._read_manifest(cid).get("meta", {}).get("round")
+                if r is not None:
+                    ok = r <= round_no
+                elif legacy_index:
+                    ok = cid <= round_no + 1
+                else:
+                    ok = False
+                if ok:
+                    keep = max(keep, cid)
+            return keep
+
+        self.lineage.rollback(_keep_by_round(self.lineage, legacy_index=True))
+        self.purges.rollback(_keep_by_round(self.purges, legacy_index=False))
         self._next_round = None  # recompute from lineage next round
         self._carry = None  # head scalars no longer describe the log
         # the in-memory seen filters (_bloom/_cuckoo) deliberately stay
@@ -966,5 +1080,28 @@ class CrawlEngine:
     def gather(self) -> DataFrame:
         """Reference `gather` (src/client/main.go:145-203): full merged
         scan of stored payloads, first-wins per key is already guaranteed
-        by the merge discipline."""
-        return self.images.read(self.spark).orderBy("image_id")
+        by the merge discipline. Purged keys are excluded (merge-on-read
+        against the purges table — same rule as the seen set) until a
+        later crawl re-stores them."""
+        cols = [f.name for f in IMAGES_SCHEMA.fields]
+        if not self.purges.last_commit():
+            return self.images.read(self.spark).orderBy("image_id")
+        # full rows + the physical enqueue_seq column for the purge rule
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        ext = StructType(
+            IMAGES_SCHEMA.fields + [StructField("enqueue_seq", LongType(), True)]
+        )
+        rows = self.images.read(self.spark, schema=ext)
+        p = self.purges.read(self.spark).groupBy("image_id").agg(
+            F.max("purge_seq").alias("_purge_seq")
+        )
+        return (
+            rows.join(F.broadcast(p), "image_id", "left")
+            .where(
+                F.col("_purge_seq").isNull()
+                | (F.col("enqueue_seq") > F.col("_purge_seq"))
+            )
+            .select(*cols)
+            .orderBy("image_id")
+        )

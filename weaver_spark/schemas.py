@@ -112,6 +112,20 @@ METRICS_SCHEMA = StructType(
     ]
 )
 
+# Keyed purge (GDPR shape; reference DHT Del,
+# src/node/chord_interface.go:68-91): merge-on-read tombstones over the
+# append-only images log. ``purge_seq`` is the frontier's max enqueue_seq
+# at purge time — any LATER store of the same key rides a new enqueue
+# event with a strictly larger seq, so `stored.enqueue_seq > purge_seq`
+# revives re-fetched keys while the purged row stays excluded.
+PURGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("purge_seq", LongType(), False),
+        StructField("purged_at", TimestampType(), False),
+    ]
+)
+
 LINEAGE_SCHEMA = StructType(
     [
         StructField("round", IntegerType(), False),
