@@ -63,6 +63,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="HTTP sockets per python worker")
     p.add_argument("--track-leases", action="store_true")
     p.add_argument("--compact-every", type=int, default=8)
+    p.add_argument("--compact-buckets", type=int, default=None,
+                   help="bucketed base layout: re-compactions rewrite only"
+                        " delta-touched buckets")
     p.add_argument("--demo-roots", type=int, default=50,
                    help="synthetic web size when --http is not set")
     p.add_argument("--demo-leaves", type=int, default=400)
@@ -95,6 +98,7 @@ def main(argv: list[str] | None = None) -> None:
         seen_filter=args.seen_filter,
         track_leases=args.track_leases,
         compact_every=args.compact_every,
+        compact_buckets=args.compact_buckets,
     )
     if args.http:
         eng.set_http_fetcher(max_concurrency=args.max_concurrency)

@@ -191,15 +191,28 @@ class DeltaTable:
                 os.remove(os.path.join(self._manifest_dir(), f"{cid:08d}.json"))
 
     def vacuum(self) -> None:
-        """Delete data dirs no longer referenced by any manifest."""
+        """Delete data dirs no longer referenced by any manifest. A
+        bucketed base manifest may reference individual bucket SUBDIRS of
+        an older commit's dir (incremental compaction reuses untouched
+        buckets in place), so liveness is prefix-aware: a top-level dir
+        with live subdirs survives, but its dead subdirs are pruned."""
         live: set[str] = set()
         for cid in self.commits():
             live.update(self._read_manifest(cid)["files"])
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if full not in live:
+            if full in live:
+                continue
+            if not any(p.startswith(full + os.sep) for p in live):
                 shutil.rmtree(full, ignore_errors=True)
+                continue
+            for sd in os.listdir(full):  # partially-live commit dir
+                sfull = os.path.join(full, sd)
+                if sfull not in live and not any(
+                    p.startswith(sfull + os.sep) for p in live
+                ):
+                    shutil.rmtree(sfull, ignore_errors=True)
 
     # -- reads ------------------------------------------------------------
 
@@ -270,11 +283,28 @@ class DeltaTable:
         if self.key is None:
             return self.read(spark, as_of=as_of)
 
+        _cid, _bm, base_dirs, delta_dirs, tomb_dirs = self._split_log(as_of)
+        base = (
+            spark.read.schema(self.schema).parquet(*base_dirs)
+            if base_dirs
+            else spark.createDataFrame([], self.schema)
+        )
+        if not delta_dirs and not tomb_dirs:
+            return base
+        return self._merge_state(
+            spark, base, delta_dirs, tomb_dirs, has_base=bool(base_dirs)
+        )
+
+    def _split_log(
+        self, as_of: int | None
+    ) -> tuple[int | None, dict | None, list[str], list[str], list[str]]:
+        """(base_cid, base_manifest, base_dirs, delta_dirs, tomb_dirs) at
+        the last compaction boundary."""
         manifests = self._live_manifests(as_of)
-        base_cid = None
+        base_cid, base_manifest = None, None
         for cid, m in reversed(manifests):
             if m.get("meta", {}).get("compaction"):
-                base_cid = cid
+                base_cid, base_manifest = cid, m
                 break
         base_dirs: list[str] = []
         delta_dirs: list[str] = []
@@ -285,15 +315,19 @@ class DeltaTable:
                     base_dirs.extend(m["files"])
                 continue  # pre-base commits are retired by compact()
             (tomb_dirs if m.get("tombstone") else delta_dirs).extend(m["files"])
+        return base_cid, base_manifest, base_dirs, delta_dirs, tomb_dirs
 
-        base = (
-            spark.read.schema(self.schema).parquet(*base_dirs)
-            if base_dirs
-            else spark.createDataFrame([], self.schema)
-        )
-        if not delta_dirs and not tomb_dirs:
-            return base
-
+    def _merge_state(
+        self,
+        spark: SparkSession,
+        base: DataFrame,
+        delta_dirs: list[str],
+        tomb_dirs: list[str],
+        has_base: bool,
+    ) -> DataFrame:
+        """Resolve current rows: max(update_seq) per key over the deltas
+        (tombstone winner deletes), then base rows whose key has no delta
+        survive via anti-join — the base is never windowed or shuffled."""
         cols = [f.name for f in self.schema.fields]
         deltas = (
             spark.read.schema(self.schema).parquet(*delta_dirs)
@@ -311,22 +345,112 @@ class DeltaTable:
             F.col("_rn") == 1
         )
         live = resolved.where(~F.col("_tomb")).select(*cols)
-        if not base_dirs:
+        if not has_base:
             return live
         delta_keys = deltas.select(self.key).distinct()
         survivors = base.join(delta_keys, self.key, "left_anti")
         return survivors.unionByName(live)
 
-    def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
-        """Fold the whole log into a single base commit (+vacuum)."""
-        state = self.latest_state(spark).cache()
-        state.count()  # materialize before we drop the inputs
-        cid = self.append(state, meta={"compaction": True, **(meta or {})})
-        # retire all prior commits: rewrite manifest list to just `cid`
+    def compact(
+        self,
+        spark: SparkSession,
+        meta: dict | None = None,
+        buckets: int | None = None,
+    ) -> int:
+        """Fold the log into a single base commit (+vacuum).
+
+        With ``buckets=B`` the base is laid out as one directory per
+        ``pmod(xxhash64(key), B)`` bucket (Iceberg ``bucket(B, key)``
+        analogue), and a RE-compaction only rewrites buckets whose keys
+        appear in post-base deltas/tombstones: untouched bucket dirs are
+        re-referenced verbatim by the new manifest (zero bytes moved), so
+        steady-state compaction cost scales with the round's write set,
+        not with frontier size — the difference between an O(batch) and
+        an O(10^10) maintenance job. ``buckets=None`` keeps the plain
+        single-dir rewrite."""
+        if buckets is None:
+            state = self.latest_state(spark).cache()
+            state.count()  # materialize before we drop the inputs
+            cid = self.append(state, meta={"compaction": True, **(meta or {})})
+            for old in self.commits():
+                if old != cid:
+                    os.remove(os.path.join(self._manifest_dir(), f"{old:08d}.json"))
+            state.unpersist()
+            self.vacuum()
+            return cid
+
+        assert self.key is not None, "bucketed compaction needs a keyed table"
+        assert "bucket" not in {f.name for f in self.schema.fields}
+        bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(buckets))
+        _bcid, bm, base_dirs, delta_dirs, tomb_dirs = self._split_log(None)
+        prior_meta = (bm or {}).get("meta", {})
+        prior_dirs: dict[str, str] = prior_meta.get("bucket_dirs") or {}
+        incremental = (
+            prior_dirs
+            and prior_meta.get("buckets") == buckets
+            and (delta_dirs or tomb_dirs)
+        )
+
+        cid = self.last_commit() + 1
+        token = secrets.token_hex(4)
+        data_dir = os.path.join(self.root, "data", f"c{cid:08d}-{token}")
+
+        if incremental:
+            # buckets touched by the write set since the last base — the
+            # only driver-side state is the touched-bucket id list
+            key_rows = (
+                spark.read.schema(self.schema).parquet(*delta_dirs).select(self.key)
+                if delta_dirs
+                else spark.createDataFrame([], self.schema).select(self.key)
+            )
+            if tomb_dirs:
+                key_rows = key_rows.unionByName(
+                    spark.read.schema(self._tombstone_schema())
+                    .parquet(*tomb_dirs)
+                    .select(self.key)
+                )
+            touched = sorted(
+                r["b"]
+                for r in key_rows.select(bucket_expr.alias("b")).distinct().collect()
+            )
+            base_touched_dirs = [
+                prior_dirs[str(b)] for b in touched if str(b) in prior_dirs
+            ]
+            base_touched = (
+                spark.read.schema(self.schema).parquet(*base_touched_dirs)
+                if base_touched_dirs
+                else spark.createDataFrame([], self.schema)
+            )
+            state = self._merge_state(
+                spark, base_touched, delta_dirs, tomb_dirs, has_base=True
+            )
+            new_dirs = {
+                b: d for b, d in prior_dirs.items() if int(b) not in set(touched)
+            }
+        else:
+            state = self.latest_state(spark)
+            touched = None  # full layout pass
+            new_dirs = {}
+
+        state.withColumn("bucket", bucket_expr).repartition(
+            F.col("bucket")
+        ).write.partitionBy("bucket").mode("overwrite").parquet(data_dir)
+        for d in os.listdir(data_dir):
+            if d.startswith("bucket="):
+                new_dirs[d.split("=", 1)[1]] = os.path.join(data_dir, d)
+
+        manifest_meta = {
+            "compaction": True,
+            "buckets": buckets,
+            "bucket_dirs": new_dirs,
+            **(meta or {}),
+        }
+        self._write_manifest(
+            cid, {"files": sorted(new_dirs.values()), "meta": manifest_meta}
+        )
         for old in self.commits():
             if old != cid:
                 os.remove(os.path.join(self._manifest_dir(), f"{old:08d}.json"))
-        state.unpersist()
         self.vacuum()
         return cid
 

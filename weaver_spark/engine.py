@@ -110,6 +110,7 @@ class CrawlEngine:
         keep_stage: bool = False,
         round_time_budget_ms: int = 1000,
         compact_every: int | None = None,
+        compact_buckets: int | None = None,
     ):
         assert mode in ("reproduction", "scale")
         self.spark = spark
@@ -161,6 +162,11 @@ class CrawlEngine:
         self._carry: tuple[int, int, int] | None = None
         self.keep_stage = keep_stage
         self.compact_every = compact_every
+        # bucketed base layout: compaction writes the base as pmod(
+        # xxhash64(key), B) bucket dirs and re-compactions rewrite ONLY
+        # delta-touched buckets (catalog.compact) — steady-state
+        # compaction cost is O(write set), not O(frontier)
+        self.compact_buckets = compact_buckets
         self.stage_root = os.path.join(warehouse, "_stage")
 
     # -- sources ---------------------------------------------------------
@@ -982,7 +988,9 @@ class CrawlEngine:
         # away rollback to pre-compaction rounds (Iceberg snapshot-expiry
         # semantics), so it's opt-in.
         if self.compact_every and (round_no + 1) % self.compact_every == 0:
-            comp_cid = self.frontier.compact(spark, meta={"round": round_no})
+            comp_cid = self.frontier.compact(
+                spark, meta={"round": round_no}, buckets=self.compact_buckets
+            )
             if self._carry is not None:
                 # compaction preserves state — rebind the carry to the
                 # new head commit instead of falling back to the agg
