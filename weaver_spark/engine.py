@@ -87,9 +87,24 @@ def _resolve_canonicalize_udf(parents: pd.Series, raws: pd.Series) -> pd.Series:
     return resolve_series(parents, raws)
 
 
-def _priority_expr(kind_col):
-    """Scheduler priority from page class: root pages (link yield — they
-    grow the frontier) rank above leaves/dummies. Mirrored in sim.prio."""
+DEPTH_PRIORITY_CEIL = 4  # depth mode: priority = max(0, CEIL - depth)
+
+
+def _priority_expr(kind_col, depth_col=None, mode: str = "kind"):
+    """Scheduler priority source. Mirrored exactly in sim.prio — one
+    derivation rule, two engines, parity-tested.
+
+    - ``kind`` (reference semantics): root pages (link yield — they grow
+      the frontier) rank above leaves/dummies. Binary.
+    - ``depth``: depth-decay ``max(0, 4 - depth)`` — shallow pages (close
+      to the seed list, the highest-value frontier in a BFS-biased crawl)
+      outrank deep ones, giving >= 3 live priority levels that the
+      (priority DESC, enqueue_seq) budget window actually exercises.
+    """
+    if mode == "depth":
+        return F.greatest(
+            F.lit(0), F.lit(DEPTH_PRIORITY_CEIL) - depth_col
+        ).cast("int")
     return F.when(kind_col == URL_TYPE_ROOT, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -111,8 +126,11 @@ class CrawlEngine:
         round_time_budget_ms: int = 1000,
         compact_every: int | None = None,
         compact_buckets: int | None = None,
+        priority_mode: str = "kind",
     ):
         assert mode in ("reproduction", "scale")
+        assert priority_mode in ("kind", "depth")
+        self.priority_mode = priority_mode
         self.spark = spark
         self.mode = mode
         self.k_cap = k_cap
@@ -332,7 +350,10 @@ class CrawlEngine:
             F.xxhash64("url").alias("url_hash"),
             F.parse_url("url", F.lit("HOST")).alias("host"),
             eff_kind.alias("url_type"),
-            _priority_expr(eff_kind).alias("priority"),
+            F.lit(0).alias("depth"),  # seeds are the crawl's depth origin
+            _priority_expr(eff_kind, F.lit(0), self.priority_mode).alias(
+                "priority"
+            ),
             F.lit(STATUS_PENDING).alias("status"),
             "enqueue_seq",
             F.lit(None).cast("timestamp").alias("lease_ts"),
@@ -616,7 +637,9 @@ class CrawlEngine:
         # round size, no recompute hazard inside write jobs.
         pages = self.web_pages
         if pages is not None:
-            fetch_input = batch.select("url", "enqueue_seq", "host", "url_type").join(
+            fetch_input = batch.select(
+                "url", "enqueue_seq", "host", "url_type", "depth"
+            ).join(
                 pages.select(
                     F.col("url"),
                     F.col("kind").alias("page_kind"),
@@ -630,7 +653,9 @@ class CrawlEngine:
             )
         else:
             # HTTP mode: no page source — the fetch UDF talks to the web
-            fetch_input = batch.select("url", "enqueue_seq", "host", "url_type")
+            fetch_input = batch.select(
+                "url", "enqueue_seq", "host", "url_type", "depth"
+            )
         # Pre-fetch payload dedup (J1/S6/F8, moved AHEAD of the fetch):
         # payload keys are known before fetching (the page join provides
         # image_id; in the http path the key is the URL itself), so
@@ -875,6 +900,8 @@ class CrawlEngine:
             links = results.where(F.size("links") > 0).select(
                 F.col("enqueue_seq").alias("parent_seq"),
                 F.col("url").alias("parent_url"),
+                (F.col("depth") + 1).alias("depth"),  # stage pass-through:
+                # no parent join needed for link depth
                 F.posexplode("links").alias("link_pos", "raw_url"),
             )
             if pages is not None:
@@ -899,9 +926,12 @@ class CrawlEngine:
                 F.xxhash64("url").alias("url_hash"),
                 F.parse_url("url", F.lit("HOST")).alias("host"),
                 F.coalesce(F.col("kind"), F.lit("leaf")).alias("url_type"),
-                _priority_expr(F.coalesce(F.col("kind"), F.lit("leaf"))).alias(
-                    "priority"
-                ),
+                F.col("depth"),
+                _priority_expr(
+                    F.coalesce(F.col("kind"), F.lit("leaf")),
+                    F.col("depth"),
+                    self.priority_mode,
+                ).alias("priority"),
                 F.lit(STATUS_PENDING).alias("status"),
                 "enqueue_seq",
                 F.lit(None).cast("timestamp").alias("lease_ts"),

@@ -42,6 +42,7 @@ _FETCH_INPUT_COLS = [
     "enqueue_seq",
     "host",
     "url_type",
+    "depth",
     "page_kind",
     "page_links",
     "page_image_id",
@@ -64,6 +65,7 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                 "enqueue_seq": pdf["enqueue_seq"],
                 "host": pdf["host"],
                 "url_type": pdf["url_type"],
+                "depth": pdf["depth"],
                 "status_code": np.where(pdf["page_kind"].notna(), 200, 404).astype(
                     "int32"
                 ),
@@ -186,6 +188,7 @@ def make_http_fetch_fn(
                     "enqueue_seq": pdf["enqueue_seq"],
                     "host": pdf["host"],
                     "url_type": pdf["url_type"],
+                    "depth": pdf["depth"],
                     "status_code": np.array(
                         [s for s, _, _ in fetched], dtype="int32"
                     ),

@@ -55,6 +55,9 @@ FRONTIER_SCHEMA = StructType(
         StructField("url_hash", LongType(), False),  # xxhash64(canonical url)
         StructField("host", StringType(), False),
         StructField("url_type", StringType(), False),
+        # link distance from the seed set (seeds = 0): the depth-decay
+        # priority source and a free crawl-frontier diagnostic
+        StructField("depth", IntegerType(), False),
         StructField("priority", IntegerType(), False),
         StructField("status", StringType(), False),
         StructField("enqueue_seq", LongType(), False),  # deterministic FIFO order
@@ -147,6 +150,8 @@ FETCH_RESULT_SCHEMA = StructType(
         StructField("enqueue_seq", LongType(), False),
         StructField("host", StringType(), False),
         StructField("url_type", StringType(), False),
+        StructField("depth", IntegerType(), False),  # pass-through: links
+        # inherit parent depth + 1 without a parent join (zero shuffle)
         StructField("status_code", IntegerType(), False),
         StructField("links", ArrayType(StringType()), True),
         StructField("image_id", StringType(), True),

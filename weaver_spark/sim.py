@@ -56,6 +56,7 @@ def simulate_crawl(
     host_budget: int | None = None,
     robots: dict | None = None,
     max_rounds: int = 10_000,
+    priority_mode: str = "kind",
 ) -> SimResult:
     """Run the reference-semantics crawl to frontier exhaustion.
 
@@ -70,21 +71,24 @@ def simulate_crawl(
     """
     res = SimResult()
     next_seq = 0
-    wave: list[tuple[int, str]] = []  # (enqueue_seq, canonical url)
+    wave: list[tuple[int, str, int]] = []  # (enqueue_seq, canonical url, depth)
 
-    def put(url: str, into: list) -> None:
+    def put(url: str, into: list, depth: int) -> None:
         nonlocal next_seq
         cu = canonicalize_url(url)
-        into.append((next_seq, cu))
+        into.append((next_seq, cu, depth))
         res.enqueue_log.append(cu)
         next_seq += 1
 
-    def prio(url: str) -> int:
+    def prio(url: str, depth: int) -> int:
+        # one derivation rule, two engines: mirrors engine._priority_expr
+        if priority_mode == "depth":
+            return max(0, 4 - depth)
         page = web.pages.get(url)
         return 1 if page is not None and page["kind"] == "root" else 0
 
     for s in web.seeds:
-        put(s, wave)
+        put(s, wave, 0)
 
     rounds = 0
     while wave and rounds < max_rounds:
@@ -92,7 +96,7 @@ def simulate_crawl(
         wave.sort(key=lambda t: t[0])  # FIFO within the wave
         if robots:
             kept = []
-            for seq, url in wave:
+            for seq, url, depth in wave:
                 host = url.split("://", 1)[1].split("/", 1)[0]
                 # parse_url(url,'PATH') parity: path only, no query string
                 path = "/" + (url.split("://", 1)[1].split("/", 1) + [""])[1]
@@ -102,28 +106,30 @@ def simulate_crawl(
                     res.blocked.add(url)
                     res.statuses.append((seq, url, "blocked"))
                 else:
-                    kept.append((seq, url))
+                    kept.append((seq, url, depth))
             wave = kept
         spend: dict[str, int] = {}
-        process: list[tuple[int, str]] = []
-        defer: list[tuple[int, str]] = []
+        process: list[tuple[int, str, int]] = []
+        defer: list[tuple[int, str, int]] = []
         # selection in scheduler order: (priority DESC, enqueue_seq)
-        for seq, url in sorted(wave, key=lambda t: (-prio(t[1]), t[0])):
+        for seq, url, depth in sorted(
+            wave, key=lambda t: (-prio(t[1], t[2]), t[0])
+        ):
             host = url.split("://", 1)[1].split("/", 1)[0]
             cap = host_budget
             if robots and host in robots and robots[host]["delay_cap"] is not None:
                 dcap = robots[host]["delay_cap"]
                 cap = dcap if cap is None else min(cap, dcap)
             if cap is not None and spend.get(host, 0) >= cap:
-                defer.append((seq, url))  # keeps its enqueue_seq
+                defer.append((seq, url, depth))  # keeps its enqueue_seq
             else:
                 spend[host] = spend.get(host, 0) + 1
-                process.append((seq, url))
+                process.append((seq, url, depth))
         process.sort(key=lambda t: t[0])  # fetch/enqueue in FIFO seq order
         defer.sort(key=lambda t: t[0])
-        next_wave: list[tuple[int, str]] = []
+        next_wave: list[tuple[int, str, int]] = []
         round_urls: list[str] = []
-        for seq, url in process:  # Pop + immediate Ack (at-most-once)
+        for seq, url, depth in process:  # Pop + immediate Ack (at-most-once)
             res.crawl_order.append(url)
             round_urls.append(url)
             page = web.pages.get(url)
@@ -136,7 +142,7 @@ def simulate_crawl(
                 if k_cap is not None:
                     links = links[:k_cap]
                 for link in links:  # DOM order preserved
-                    put(link, next_wave)
+                    put(link, next_wave, depth + 1)
             elif kind == "leaf":
                 image_id = page["image_id"]
                 if image_id not in res.seen_set:  # storage dedup, first wins

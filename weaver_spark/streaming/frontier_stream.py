@@ -75,6 +75,7 @@ def stream_enqueue(
             F.xxhash64("url").alias("url_hash"),
             F.parse_url("url", F.lit("HOST")).alias("host"),
             F.coalesce(F.col("url_type"), F.lit("leaf")).alias("url_type"),
+            F.lit(0).alias("depth"),  # streamed enqueues are seed-class
             F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
             F.lit(STATUS_PENDING).alias("status"),
             "enqueue_seq",
