@@ -612,10 +612,20 @@ FROM tok GROUP BY doc_id
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs by exact Jaccard over distinct unigram sets
-    (candidate generation by shared token, then exact verify)."""
+    """Near-dup pairs by exact Jaccard over distinct unigram sets:
+    candidate generation by shared token WITH max_df stop-token blocking
+    (tokens in more than half the corpus are dropped before any join —
+    stopwords generate quadratic candidate pairs without adding near-dup
+    evidence), then exact verify over the blocked sets. Same semantics as
+    the library operator (operators/dedup.dedup_ngram_jaccard, max_df);
+    mirrored token-for-token in JACCARD_SQL so the oracle compares the
+    identical definition."""
     d = _t(spark, sf, "documents")
+    n_docs = d.count()
     tok = d.select("doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")).distinct()
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    keep = dfreq.where(F.col("df") <= int(0.5 * n_docs)).select("tok")
+    tok = tok.join(F.broadcast(keep), "tok", "left_semi")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -643,9 +653,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 JACCARD_SQL = """
-WITH tok AS (
+WITH tok0 AS (
   SELECT DISTINCT doc_id, t.tok FROM documents,
     UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)),
+keep AS (
+  SELECT tok FROM tok0 GROUP BY tok
+  HAVING COUNT(*) <= FLOOR(0.5 * (SELECT COUNT(*) FROM documents))),
+tok AS (SELECT tok0.doc_id, tok0.tok FROM tok0 JOIN keep USING (tok)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
