@@ -88,7 +88,37 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
-def bench_crawl(spark) -> dict:
+def _write_stage_marks(eng, crawl: dict) -> None:
+    """BENCH/stage_marks.txt: per-round stage wall-times from the timed
+    crawl plus the aggregate share per stage — the committed audit trail
+    behind the '>90% of wall is the fetch stage' claim in
+    BENCH/BASELINE.md."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    totals: dict[str, float] = {}
+    lines = []
+    for round_no, marks in eng.timing_log:
+        lines.append(
+            f"round {round_no}: " + " ".join(f"{k}={v}" for k, v in marks)
+        )
+        for k, v in marks:
+            totals[k] = totals.get(k, 0.0) + v
+    grand = sum(totals.values()) or 1.0
+    agg = sorted(totals.items(), key=lambda kv: -kv[1])
+    with open(os.path.join(here, "BENCH", "stage_marks.txt"), "w") as f:
+        f.write(
+            f"# WEAVER_TIMING=1 stage marks, crawl bench "
+            f"({crawl['web']['roots']}x{crawl['web']['leaves_per_root']} web, "
+            f"{crawl['cpus']} cpus, {crawl['urls']} urls, "
+            f"{crawl['seconds']} s wall)\n"
+        )
+        f.write("# aggregate share per stage:\n")
+        for k, v in agg:
+            f.write(f"#   {k}: {round(v, 2)} s ({100 * v / grand:.1f}%)\n")
+        f.write("\n".join(lines) + "\n")
+
+
+def bench_crawl(spark, capture_marks: bool = False) -> dict:
     """Crawl throughput: seed -> rounds to exhaustion on a distributed
     synthetic web (JVM-generated; payload pixels synthesized in the fetch
     UDF on executors). Warehouse lives on tmpfs when available so the
@@ -126,14 +156,22 @@ def bench_crawl(spark) -> dict:
     warm.web_pages.unpersist()
     shutil.rmtree(warm_wh, ignore_errors=True)
 
+    prev_timing = os.environ.get("WEAVER_TIMING")
+    if capture_marks:
+        os.environ["WEAVER_TIMING"] = "1"
     t0 = time.perf_counter()
     eng.seed_urls(seeds)
     stats = eng.run(max_rounds=50)
     wall = time.perf_counter() - t0
+    if capture_marks:
+        if prev_timing is None:
+            os.environ.pop("WEAVER_TIMING", None)
+        else:
+            os.environ["WEAVER_TIMING"] = prev_timing
     fetched = sum(s["batch"] for s in stats)
     payloads = sum(s["payload_rows"] for s in stats)
     shutil.rmtree(wh, ignore_errors=True)
-    return {
+    out = {
         "urls": fetched,
         "payload_rows": payloads,
         "rounds": len(stats),
@@ -142,12 +180,17 @@ def bench_crawl(spark) -> dict:
         "cpus": CPUS,
         "web": {"roots": n_roots, "leaves_per_root": lpr},
     }
+    if capture_marks:
+        _write_stage_marks(eng, out)
+    return out
 
 
 def run_single(crawl_only: bool) -> dict:
     spark = _spark()
     out: dict = {"sf": SF_DIR, "cpus": CPUS}
-    crawl = bench_crawl(spark)
+    # the per-round driver bench (not the scaling subprocess legs)
+    # records its stage marks as a committed artifact
+    crawl = bench_crawl(spark, capture_marks=not crawl_only)
     out["crawl"] = crawl
     qtimes: dict[str, float] = {}
     if not crawl_only:

@@ -179,6 +179,10 @@ class CrawlEngine:
         # scaling ratio pays at BOTH cluster sizes (BENCH/BASELINE.md).
         self._carry: tuple[int, int, int] | None = None
         self.keep_stage = keep_stage
+        # WEAVER_TIMING=1 stage marks accumulate here; bench.py commits
+        # them as BENCH/stage_marks.txt so per-stage wall-time claims
+        # (">90% fetch") stay auditable round-over-round
+        self.timing_log: list[tuple[int, list[tuple[str, float]]]] = []
         self.compact_every = compact_every
         # bucketed base layout: compaction writes the base as pmod(
         # xxhash64(key), B) bucket dirs and re-compactions rewrite ONLY
@@ -1028,6 +1032,7 @@ class CrawlEngine:
             mark("compact")
         self._next_round = round_no + 1
         if timing:
+            self.timing_log.append((round_no, marks))
             print(f"[timing] round {round_no}: " + " ".join(f"{k}={v}" for k, v in marks))
         return stats
 
