@@ -79,6 +79,7 @@ def _batch(base, specs):
             "enqueue_seq": np.arange(len(specs), dtype="int64"),
             "host": ["127.0.0.1"] * len(specs),
             "url_type": [t for _, t in specs],
+            "depth": np.zeros(len(specs), dtype="int32"),
         }
     )
 
