@@ -75,7 +75,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     rules = []
     for spec in args.classify:
         pat, sep, t = spec.rpartition("=")
-        if not sep or t not in ("root", "leaf", "dummy"):
+        if not sep or not pat or t not in ("root", "leaf"):
+            # empty regex would rlike-match EVERY url (silently typing the
+            # whole frontier root); reject it like a bad type
             p.error(f"--classify expects REGEX=root|leaf, got {spec!r}")
         rules.append((pat, t))
     args.classify_rules = rules

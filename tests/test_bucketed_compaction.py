@@ -83,8 +83,12 @@ def test_recompaction_rewrites_only_touched_buckets(spark, tmp_path):
     for b, d in dirs2.items():
         assert os.path.isdir(d)
     assert _state(t, spark) == expect
-    # idempotent: compacting with no new deltas is a no-op layout-wise
+    # idempotent: compacting with no new deltas is a true no-op — no new
+    # commit, no bucket rewritten (an O(table) rewrite here would be the
+    # exact maintenance job the bucketed layout exists to avoid)
     c3 = t.compact(spark, buckets=16)
+    assert c3 == c2
+    assert dict(t._read_manifest(c3)["meta"]["bucket_dirs"]) == dirs2
     assert _state(t, spark) == expect
 
 

@@ -27,6 +27,19 @@ def test_http_requires_seeds():
         crawl_job.parse_args(["--warehouse", "/tmp/wh", "--http"])
 
 
+def test_classify_rule_validation():
+    import pytest
+
+    a = crawl_job.parse_args(
+        ["--warehouse", "/w", "--classify", r"/cat/\d+=root",
+         "--classify", "/item/=leaf"]
+    )
+    assert a.classify_rules == [(r"/cat/\d+", "root"), ("/item/", "leaf")]
+    for bad in ("=root", "/x/", "/x/=dummy", "/x/=page"):
+        with pytest.raises(SystemExit):  # empty regex / bad type rejected
+            crawl_job.parse_args(["--warehouse", "/w", "--classify", bad])
+
+
 def test_full_production_shape():
     a = crawl_job.parse_args([
         "--warehouse", "hdfs:///wh", "--seeds", "seeds.txt", "--http",

@@ -211,6 +211,28 @@ def test_robots_cache_persists_across_restart(spark, server, tmp_path):
     assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
 
 
+def test_refresh_robots_idempotent(spark, server, tmp_path):
+    """The public refresh_robots guards against re-fetch/duplicate rows
+    itself (not just via run_round's anti-join): a duplicated host row
+    would double every pending row for that host through the enforcement
+    join."""
+    import urllib.request
+
+    calls: list[str] = []
+
+    def opener(url, timeout):
+        calls.append(url)
+        return urllib.request.urlopen(url, timeout=timeout)
+
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="scale")
+    eng.enable_auto_robots(opener=opener, timeout_s=5.0)
+    assert eng.refresh_robots([("127.0.0.1", server)]) == 1
+    assert eng.refresh_robots([("127.0.0.1", server)]) == 0  # cached: no-op
+    assert len(calls) == 1
+    assert eng.robots_table.read(spark).count() == 1
+    assert eng.robots_df.count() == 1
+
+
 def test_manual_robots_survive_auto_refresh(spark, server, tmp_path):
     """set_robots() rules installed before enable_auto_robots must not be
     discarded by the first auto-refresh (the live robots.txt has no /cat/

@@ -40,6 +40,34 @@ def test_depth_priority_parity_and_reordering(spark, tmp_path):
     assert got != kind.crawl_order
 
 
+def test_legacy_warehouse_without_depth_column(spark, tmp_path):
+    """Migration shim: a frontier written BEFORE the depth column existed
+    reads depth as null — the engine must backfill 0 instead of poisoning
+    depth arithmetic / depth-mode priority / the non-null schema."""
+    from pyspark.sql.types import StructType
+
+    from weaver_spark.catalog import Catalog
+    from weaver_spark.schemas import FRONTIER_SCHEMA
+
+    legacy = StructType([f for f in FRONTIER_SCHEMA.fields if f.name != "depth"])
+    wh = str(tmp_path / "wh")
+    t = Catalog(wh).table("frontier", legacy, key="enqueue_seq")
+    rows = [
+        ("http://h0.test/a", 11, "h0.test", "leaf", 0, "pending", 0, None, 0, 1),
+        ("http://h0.test/b", 12, "h0.test", "leaf", 0, "pending", 1, None, 0, 1),
+    ]
+    t.append(spark.createDataFrame(rows, legacy))
+
+    web = make_web(seed=3, n_hosts=2, n_seed_roots=1, depth=1)
+    eng = CrawlEngine(spark, wh, mode="scale", priority_mode="depth", host_budget=4)
+    eng.set_web(web)
+    eng.run(max_rounds=5)  # resumes the legacy frontier without crashing
+    state = {r["url"]: r for r in eng.frontier.latest_state(spark).collect()}
+    for u in ("http://h0.test/a", "http://h0.test/b"):
+        assert state[u]["status"] in ("done", "failed")
+        assert state[u]["depth"] == 0  # backfilled, not null
+
+
 def test_depth_tracks_link_distance(spark, tmp_path):
     web = make_web(seed=3, n_hosts=2, n_seed_roots=1, depth=2)
     eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")

@@ -62,6 +62,70 @@ def test_purge_refetch_rollback(spark, tmp_path, filt):
     assert eng.purges.last_commit() == 0  # purge commit rolled back
 
 
+def test_rollback_past_purge_resets_filters(spark, tmp_path):
+    """The one interleaving where stale-but-safe would break: store X →
+    purge X → REBUILD the filter from seen-minus-purged (X absent) →
+    rollback past the purge (X back in the authoritative seen set). A
+    kept filter would report X definitely-new and store a duplicate;
+    rollback must reset filters whenever purge commits were dropped."""
+    web = make_web(seed=5, n_hosts=3, n_seed_roots=2, depth=1)
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, mode="reproduction", seen_filter="cuckoo")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    pre_round = eng.current_round() - 1
+    gather0 = {r["image_id"] for r in eng.gather().collect()}
+    url, key = next(
+        (u, p["image_id"])
+        for u, p in web.pages.items()
+        if p["kind"] == "leaf" and p["image_id"] in gather0
+    )
+    eng.purge_images([key])
+    # force a filter rebuild from the post-purge seen set: the rebuilt
+    # filter genuinely lacks X's fingerprint (no dirty-bucket safety)
+    eng._cuckoo = None
+    import shutil
+
+    shutil.rmtree(eng._cuckoo_dir, ignore_errors=True)
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.run(max_rounds=5)  # builds the filter without X, re-stores X
+
+    eng.rollback_to_round(pre_round)  # purge dropped: X is seen again
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.run(max_rounds=5)
+    rows = eng.images.read(spark).where(F.col("image_id") == key).count()
+    assert rows == 1, "rollback past a purge must not allow a duplicate store"
+    assert {r["image_id"] for r in eng.gather().collect()} == gather0
+
+
+def test_purge_kills_pending_prepurge_enqueues(spark, tmp_path):
+    """A URL already PENDING when its key is purged must not be stored as
+    an invisible dead row when fetched later: the enqueue predates the
+    purge (enqueue_seq <= purge_seq), so the purge wins and the fetch
+    stores nothing; only a post-purge enqueue revives the key."""
+    web = make_web(seed=5, n_hosts=3, n_seed_roots=2, depth=1)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    url, key = next(
+        (u, p["image_id"]) for u, p in web.pages.items() if p["kind"] == "leaf"
+    )
+    n_rows0 = eng.images.read(spark).count()
+    # enqueue the URL (pending), THEN purge its key, THEN let it fetch
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.purge_images([key])
+    eng.run(max_rounds=5)
+    # no new physical row: the pre-purge enqueue lost to the purge
+    assert eng.images.read(spark).count() == n_rows0
+    assert key not in {r["image_id"] for r in eng.gather().collect()}
+    # a POST-purge enqueue revives it
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.run(max_rounds=5)
+    assert key in {r["image_id"] for r in eng.gather().collect()}
+
+
 def test_purge_unknown_key_is_harmless(spark, tmp_path):
     web = make_web(seed=6, n_hosts=2, n_seed_roots=1, depth=1)
     eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")

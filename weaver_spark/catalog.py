@@ -382,14 +382,15 @@ class DeltaTable:
         assert self.key is not None, "bucketed compaction needs a keyed table"
         assert "bucket" not in {f.name for f in self.schema.fields}
         bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(buckets))
-        _bcid, bm, base_dirs, delta_dirs, tomb_dirs = self._split_log(None)
+        base_cid, bm, base_dirs, delta_dirs, tomb_dirs = self._split_log(None)
         prior_meta = (bm or {}).get("meta", {})
         prior_dirs: dict[str, str] = prior_meta.get("bucket_dirs") or {}
-        incremental = (
-            prior_dirs
-            and prior_meta.get("buckets") == buckets
-            and (delta_dirs or tomb_dirs)
-        )
+        compatible_base = prior_dirs and prior_meta.get("buckets") == buckets
+        if compatible_base and not delta_dirs and not tomb_dirs:
+            # empty write set: the existing base IS the state — a true
+            # no-op, not an O(table) rewrite of every bucket
+            return base_cid
+        incremental = compatible_base and (delta_dirs or tomb_dirs)
 
         cid = self.last_commit() + 1
         token = secrets.token_hex(4)

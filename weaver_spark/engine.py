@@ -284,6 +284,9 @@ class CrawlEngine:
             else None
         )
         manual = getattr(self, "_manual_robots_df", None)
+        if cached is not None:
+            # one row per host even if concurrent engines raced an append
+            cached = cached.dropDuplicates(["host"])
         if manual is None:
             return cached
         if cached is None:
@@ -303,6 +306,22 @@ class CrawlEngine:
         from .operators.robots import fetch_robots_rows
 
         new = sorted(set(sites))
+        if new and self.robots_df is not None:
+            # in-method idempotence (the run_round anti-join only covers
+            # the single-engine in-process path): a duplicated host row
+            # would double every pending row for that host through the
+            # enforcement join, durably. One tiny job over the CANDIDATE
+            # hosts only — not the cache.
+            cand = self.spark.createDataFrame(
+                [(h,) for h, _ in new], "host string"
+            )
+            cached_hosts = {
+                r["host"]
+                for r in cand.join(
+                    F.broadcast(self.robots_df.select("host")), "host", "left_semi"
+                ).collect()
+            }
+            new = [s for s in new if s[0] not in cached_hosts]
         if not new:
             return 0
         rows = fetch_robots_rows(new, **self._auto_robots)
@@ -366,12 +385,21 @@ class CrawlEngine:
         )
         return self.frontier.append(seeded, meta={"op": "seed", "n": len(urls)})
 
+    def _frontier_state(self) -> DataFrame:
+        """Current frontier rows + migration shim: a warehouse written
+        before the ``depth`` column existed reads depth as null — backfill
+        0 so depth arithmetic, depth-mode priority and the non-null
+        schema stay sound on resumed legacy crawls."""
+        return self.frontier.latest_state(self.spark).withColumn(
+            "depth", F.coalesce(F.col("depth"), F.lit(0))
+        )
+
     # -- lease machinery (reference src/queue/main.go:47-87) --------------
 
     def reclaim_expired_leases(self) -> int:
         """F2/T1: leased rows past the visibility timeout become pending
         again (the reference sweeps every 10s for >30s-old leases)."""
-        state = self.frontier.latest_state(self.spark)
+        state = self._frontier_state()
         expired = state.where(
             (F.col("status") == STATUS_LEASED)
             & (
@@ -406,33 +434,42 @@ class CrawlEngine:
             ]
         )
 
+    def _purge_watermarks(self) -> DataFrame | None:
+        """(image_id, _purge_seq = max purge_seq) — broadcast-tiny; None
+        when no purge ever happened (zero overhead on that path)."""
+        if not self.purges.last_commit():
+            return None
+        return self.purges.read(self.spark).groupBy("image_id").agg(
+            F.max("purge_seq").alias("_purge_seq")
+        )
+
+    def _alive_after_purge(self, df: DataFrame) -> DataFrame:
+        """THE purge liveness rule, applied to any (image_id,
+        enqueue_seq, ...) rows: a row survives iff its key was never
+        purged or its enqueue_seq is STRICTLY past the purge watermark
+        (re-stores always ride a new enqueue event). One definition,
+        three call sites (seen set, gather, winner selection) — they can
+        never diverge. Purges side is broadcast; df is never shuffled."""
+        p = self._purge_watermarks()
+        if p is None:
+            return df
+        return (
+            df.join(F.broadcast(p), "image_id", "left")
+            .where(
+                F.col("_purge_seq").isNull()
+                | (F.col("enqueue_seq") > F.col("_purge_seq"))
+            )
+            .drop("_purge_seq")
+        )
+
     def _seen_keys_df(self) -> DataFrame:
         """Authoritative seen set: stored payload keys minus purged keys.
 
         Merge-on-read over two logs: the images table stays append-only
         (adopted fetch-stage files carry ``enqueue_seq`` beyond the table
-        schema), and the purges table holds (key, purge_seq) tombstones.
-        A key is seen iff it has a stored row with
-        ``enqueue_seq > max(purge_seq)`` — re-stores always ride a NEW
-        enqueue event, so they revive the key while the purged row stays
-        dead. The purges side is human-action-cardinality → broadcast;
-        the images side is never shuffled or windowed."""
-        keys = self.images.read(
-            self.spark, schema=self._images_keys_schema()
-        )
-        if not self.purges.last_commit():
-            return keys.select("image_id")
-        p = self.purges.read(self.spark).groupBy("image_id").agg(
-            F.max("purge_seq").alias("_purge_seq")
-        )
-        return (
-            keys.join(F.broadcast(p), "image_id", "left")
-            .where(
-                F.col("_purge_seq").isNull()
-                | (F.col("enqueue_seq") > F.col("_purge_seq"))
-            )
-            .select("image_id")
-        )
+        schema), and the purges table holds (key, purge_seq) tombstones."""
+        keys = self.images.read(self.spark, schema=self._images_keys_schema())
+        return self._alive_after_purge(keys).select("image_id")
 
     def _current_max_seq(self) -> int:
         carry = self._carry
@@ -528,11 +565,11 @@ class CrawlEngine:
             n_pending, max_seq = carry[1], carry[2]
             if not n_pending:
                 return None  # drained — decided without launching a job
-            state = self.frontier.latest_state(spark).persist()
+            state = self._frontier_state().persist()
             pending = state.where(F.col("status") == STATUS_PENDING)
             mark("head_carry")
         else:
-            state = self.frontier.latest_state(spark).persist()
+            state = self._frontier_state().persist()
             pending = state.where(F.col("status") == STATUS_PENDING)
             # one driver-side scalar job: pending count + max seq together
             head = state.agg(
@@ -727,10 +764,12 @@ class CrawlEngine:
                             self.images.read_since(spark, wm).select("image_id"),
                             "image_id",
                         )
-                    # wm >= cur (incl. rollback past the save): superset —
-                    # stale fingerprints are false positives only
+                    # wm > cur (crash mid-rollback before the re-stamp):
+                    # the filter is a superset — safe — but the STALE
+                    # watermark would alias reused commit ids and skip a
+                    # future catch-up; clamp it to the current head now.
                     if not filt.saturated.any():
-                        if wm < cur:
+                        if wm != cur:
                             filt.save(self._cuckoo_dir, cur)
                         self._cuckoo = filt
             if self._cuckoo is None:
@@ -744,6 +783,13 @@ class CrawlEngine:
             )
         else:
             winner_keys = antijoin_exact(firsts, seen_keys, "image_id")
+        # purge liveness applies to CANDIDATES too: an enqueue that
+        # predates a purge of its key (enqueue_seq <= purge_seq) loses to
+        # the purge — storing it would write a permanently-invisible row
+        # (its seq fails the liveness rule). Skip the store; the key
+        # revives only via a post-purge enqueue. Same one rule as the
+        # seen set and gather (_alive_after_purge).
+        winner_keys = self._alive_after_purge(winner_keys)
         if self.seen_filter in ("bloom", "cuckoo"):
             # the winners pipeline feeds both the fetch stage and the
             # filter-maintenance job — pin it so maintenance reuses the
@@ -1050,6 +1096,7 @@ class CrawlEngine:
     def rollback_to_round(self, round_no: int) -> None:
         """Restore every table to its state at the END of `round_no`
         (Iceberg rollback_to_snapshot analogue, driven by lineage)."""
+        purges_before = self.purges.last_commit()
         lin = self.lineage.read(self.spark)
         last = {
             r["table"]: r["commit_id"]
@@ -1089,12 +1136,22 @@ class CrawlEngine:
         # (false positives → exact-confirm traffic only) but still cover
         # every key in the rolled-back table, so they can never report a
         # stored key as new (tests/test_seen_persistence.py pins this).
-        # The cuckoo CHECKPOINT needs care though: commit ids are REUSED
-        # after rollback (catalog semantics), so a saved watermark could
-        # alias future commits and silently skip their catch-up. Re-stamp
-        # the superset filter at the rolled-back commit, or drop the
-        # checkpoint if there is no live filter to re-stamp.
-        if self.seen_filter == "cuckoo":
+        # TWO exceptions are handled conservatively:
+        # 1. A rolled-back PURGE breaks the superset property: a filter
+        #    (re)built after the purge lacks the now-revived key — a
+        #    false-NEGATIVE generator. Reset both filters + checkpoint;
+        #    the next round rebuilds from the authoritative seen set
+        #    (O(seen) once, on a rare recovery op).
+        # 2. Commit ids are REUSED after rollback (catalog semantics),
+        #    so a saved cuckoo watermark could alias future commits and
+        #    silently skip their catch-up. Re-stamp the superset filter
+        #    at the rolled-back commit, or drop the checkpoint if there
+        #    is no live filter to re-stamp.
+        if self.purges.last_commit() != purges_before:
+            self._bloom = None
+            self._cuckoo = None
+            shutil.rmtree(self._cuckoo_dir, ignore_errors=True)
+        elif self.seen_filter == "cuckoo":
             if self._cuckoo is not None and not self._cuckoo.saturated.any():
                 self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
             else:
@@ -1136,15 +1193,4 @@ class CrawlEngine:
             IMAGES_SCHEMA.fields + [StructField("enqueue_seq", LongType(), True)]
         )
         rows = self.images.read(self.spark, schema=ext)
-        p = self.purges.read(self.spark).groupBy("image_id").agg(
-            F.max("purge_seq").alias("_purge_seq")
-        )
-        return (
-            rows.join(F.broadcast(p), "image_id", "left")
-            .where(
-                F.col("_purge_seq").isNull()
-                | (F.col("enqueue_seq") > F.col("_purge_seq"))
-            )
-            .select(*cols)
-            .orderBy("image_id")
-        )
+        return self._alive_after_purge(rows).select(*cols).orderBy("image_id")
