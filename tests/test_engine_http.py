@@ -211,6 +211,23 @@ def test_robots_cache_persists_across_restart(spark, server, tmp_path):
     assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
 
 
+def test_distributed_robots_cache_fill(spark, server, tmp_path):
+    """enable_auto_robots(distributed=True): the cache fill runs as a
+    mapInPandas job (zero per-host driver traffic — the 10^7-host shape)
+    with identical enforcement semantics to the driver thread pool."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="scale")
+    eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+    eng.enable_auto_robots(distributed=True, timeout_s=5.0)
+    eng.seed_urls([f"{server}/cat/0"], url_types=["root"])
+    eng.run(max_rounds=10)
+    base = server
+    state = {r["url"]: r["status"] for r in eng.frontier.latest_state(spark).collect()}
+    assert state[f"{base}/img/1"] == "blocked"
+    assert state[f"{base}/cat/1"] == "done"
+    rows = eng.robots_table.read(spark).collect()
+    assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
+
+
 def test_refresh_robots_idempotent(spark, server, tmp_path):
     """The public refresh_robots guards against re-fetch/duplicate rows
     itself (not just via run_round's anti-join): a duplicated host row

@@ -126,6 +126,51 @@ def test_purge_kills_pending_prepurge_enqueues(spark, tmp_path):
     assert key in {r["image_id"] for r in eng.gather().collect()}
 
 
+def test_purge_vacuum_physically_deletes(spark, tmp_path):
+    """purge_images is merge-on-read; purge_vacuum is the physical
+    completion: the dead row's bytes leave disk (only the affected
+    commit dirs rewritten), other rows are byte-identical, re-store
+    still works, and rollback can no longer resurrect the purged
+    payload (the irreversibility GDPR wants)."""
+    web = make_web(seed=5, n_hosts=3, n_seed_roots=2, depth=1)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    pre_round = eng.current_round() - 1
+    before = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.images.read(spark).collect()
+    }
+    url, key = next(
+        (u, p["image_id"]) for u, p in web.pages.items() if p["kind"] == "leaf"
+    )
+    eng.purge_images([key])
+    assert eng.purge_vacuum() >= 1
+    # the row is PHYSICALLY gone from the raw log; everything else intact
+    after = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.images.read(spark).collect()
+    }
+    assert key not in after
+    assert after == {k: v for k, v in before.items() if k != key}
+    assert eng.purge_vacuum() == 0  # idempotent: nothing left to delete
+
+    # re-store works and survives a second vacuum (the new row is alive)
+    eng.seed_urls([url], url_types=["leaf"])
+    eng.run(max_rounds=5)
+    assert dict(
+        (r["image_id"], (r["phash"], bytes(r["bytes"])))
+        for r in eng.gather().collect()
+    ) == before
+    assert eng.purge_vacuum() == 0
+
+    # rollback to pre-purge CANNOT resurrect the purged bytes: the purge
+    # tombstone is rolled back but the physical row no longer exists
+    eng.rollback_to_round(pre_round)
+    assert key not in {r["image_id"] for r in eng.gather().collect()}
+
+
 def test_purge_unknown_key_is_harmless(spark, tmp_path):
     web = make_web(seed=6, n_hosts=2, n_seed_roots=1, depth=1)
     eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")

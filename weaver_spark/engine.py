@@ -270,10 +270,28 @@ class CrawlEngine:
         an unreachable robots.txt (= 'no restrictions') can never erase a
         manually configured disallow. Pairs with set_http_fetcher; kwargs
         (opener, timeout_s, scheme, max_concurrency) pass through to the
-        fetcher."""
+        fetcher. ``distributed=True`` routes the cache fill through
+        ``fetch_robots_df`` (a mapInPandas job — zero per-host driver
+        traffic; the 10^7-host shape) instead of the driver thread
+        pool."""
         self._auto_robots = fetch_kwargs
         self._manual_robots_df = self.robots_df
         self.robots_df = self._effective_robots_df()
+
+    def refresh_robots_df(self, sites_df: DataFrame) -> int:
+        """Distributed cache fill: fetch+parse robots.txt for the given
+        (host, site) rows as one Spark job, commit the parsed rows to the
+        durable robots table. Callers pass only NOT-yet-cached hosts."""
+        from .operators.robots import fetch_robots_df
+
+        kw = {k: v for k, v in self._auto_robots.items() if k != "distributed"}
+        rows = fetch_robots_df(sites_df, **kw).persist()
+        n = rows.count()
+        if n:
+            self.robots_table.append(rows, meta={"op": "robots_fetch"})
+            self.robots_df = self._effective_robots_df()
+        rows.unpersist()
+        return n
 
     def _effective_robots_df(self) -> DataFrame | None:
         """Manual set_robots() rows overlaid on the durable cache table
@@ -324,7 +342,8 @@ class CrawlEngine:
             new = [s for s in new if s[0] not in cached_hosts]
         if not new:
             return 0
-        rows = fetch_robots_rows(new, **self._auto_robots)
+        kw = {k: v for k, v in self._auto_robots.items() if k != "distributed"}
+        rows = fetch_robots_rows(new, **kw)
         # tiny metadata commit, driver-side (catalog.append_rows): host-
         # cardinality rows, no Spark job on the round's serial path
         self.robots_table.append_rows(rows, meta={"op": "robots_fetch"})
@@ -520,6 +539,85 @@ class CrawlEngine:
                 self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
         return cid
 
+    def purge_vacuum(self) -> int:
+        """Physically delete purge-dead payload rows — the GDPR
+        completion of ``purge_images`` (which is merge-on-read and leaves
+        bytes on disk). Iceberg analogue: ``rewrite_data_files`` +
+        ``expire_snapshots``.
+
+        One pruned scan over (image_id, enqueue_seq, _metadata.file_path)
+        locates the files that contain dead rows; ONLY the commit dirs
+        owning those files are rewritten (minus dead rows, full physical
+        schema preserved) and their manifests atomically re-pointed —
+        cost scales with the purged write-set's locality, not table
+        size. Afterwards rollback can no longer resurrect the purged
+        bytes (that irreversibility is the point of a physical purge);
+        the purge tombstones remain, still gating pre-purge pending
+        enqueues. Returns the number of rewritten data dirs."""
+        spark = self.spark
+        p = self._purge_watermarks()
+        if p is None:
+            return 0
+        rows = self.images.read(
+            spark, schema=self._images_keys_schema()
+        ).withColumn("_f", F.col("_metadata.file_path"))
+        dead = (
+            rows.join(F.broadcast(p), "image_id", "left")
+            .where(
+                F.col("_purge_seq").isNotNull()
+                & (
+                    F.col("enqueue_seq").isNull()
+                    | (F.col("enqueue_seq") <= F.col("_purge_seq"))
+                )
+            )
+        )
+        dead_files = {
+            # Hadoop renders local URIs as file:/path (single slash)
+            r["_f"].removeprefix("file://").removeprefix("file:")
+            for r in dead.select("_f").distinct().collect()
+        }
+        if not dead_files:
+            return 0
+        import secrets
+
+        n_rewritten = 0
+        for cid, m in self.images._live_manifests(None):
+            if m.get("tombstone"):
+                continue
+            new_files, changed = [], False
+            for d in m["files"]:
+                if not any(f.startswith(d + os.sep) for f in dead_files):
+                    new_files.append(d)
+                    continue
+                changed = True
+                n_rewritten += 1
+                src = spark.read.parquet(d)  # full physical schema
+                keep = (
+                    src.join(F.broadcast(p), "image_id", "left")
+                    .where(
+                        F.col("_purge_seq").isNull()
+                        | (F.col("enqueue_seq") > F.col("_purge_seq"))
+                    )
+                    .drop("_purge_seq")
+                    .persist()
+                )
+                if keep.count():
+                    newd = os.path.join(
+                        self.images.root,
+                        "data",
+                        f"c{cid:08d}-pv{secrets.token_hex(4)}",
+                    )
+                    keep.write.parquet(newd)
+                    new_files.append(newd)
+                keep.unpersist()
+            if changed:
+                self.images._write_manifest(
+                    cid,
+                    {"files": new_files, "meta": {**m.get("meta", {}), "purge_vacuumed": True}},
+                )
+        self.images.vacuum()  # old dirs are now unreferenced: delete bytes
+        return n_rewritten
+
     # -- the round ---------------------------------------------------------
 
     def current_round(self) -> int:
@@ -609,7 +707,12 @@ class CrawlEngine:
                 sites = sites.join(
                     F.broadcast(self.robots_df.select("host")), "host", "left_anti"
                 )
-            self.refresh_robots([(r["host"], r["site"]) for r in sites.collect()])
+            if self._auto_robots.get("distributed"):
+                self.refresh_robots_df(sites)
+            else:
+                self.refresh_robots(
+                    [(r["host"], r["site"]) for r in sites.collect()]
+                )
             mark("robots_fetch")
         if self.mode == "scale" and self.robots_df is not None:
             # robots enforcement: broadcast join, map-side split — the

@@ -117,6 +117,26 @@ def parse_robots_txt(text: str) -> tuple[list[str], int]:
     return prefixes, delay_ms
 
 
+def _fetch_one_robots(host: str, base: str, timeout_s: float, opener) -> tuple:
+    """(host, disallow_prefixes, crawl_delay_ms) for one authority. One
+    shot: an unreachable or 4xx robots.txt means no restrictions (the
+    de-facto standard), never a blocked crawl."""
+    import urllib.request
+
+    _open = opener or (
+        lambda url, timeout: urllib.request.urlopen(url, timeout=timeout)
+    )
+    try:
+        with _open(f"{base}/robots.txt", timeout_s) as r:
+            if r.status != 200:
+                return (host, [], 0)
+            body = r.read().decode("utf-8", "replace")
+    except Exception:
+        return (host, [], 0)
+    prefixes, delay_ms = parse_robots_txt(body)
+    return (host, prefixes, delay_ms)
+
+
 def fetch_robots_rows(
     sites: list,
     scheme: str = "http",
@@ -130,36 +150,63 @@ def fetch_robots_rows(
     (host, base_url) pairs: the frontier's politeness key is the bare
     host, but the fetch needs the full authority (scheme + host:port) —
     collapsing them fetches the wrong port. Bounded thread pool
-    (network-bound), one shot per site: an unreachable or 4xx robots.txt
-    means no restrictions (the de-facto standard), never a blocked
-    crawl. Driver-side by design: the robots cache is host-cardinality
-    (~10^7 at 10^10-URL frontier scale — at that size this becomes its
-    own small Spark job writing the robots table; same parse, same
-    schema)."""
-    import urllib.request
+    (network-bound). Driver-side: right while new-host arrival per round
+    is small; ``fetch_robots_df`` is the distributed variant for
+    host cardinalities beyond driver reach."""
     from concurrent.futures import ThreadPoolExecutor
-
-    _open = opener or (
-        lambda url, timeout: urllib.request.urlopen(url, timeout=timeout)
-    )
 
     def one(site) -> tuple:
         if isinstance(site, tuple):
             host, base = site
         else:
             host, base = site, f"{scheme}://{site}"
-        try:
-            with _open(f"{base}/robots.txt", timeout_s) as r:
-                if r.status != 200:
-                    return (host, [], 0)
-                body = r.read().decode("utf-8", "replace")
-        except Exception:
-            return (host, [], 0)
-        prefixes, delay_ms = parse_robots_txt(body)
-        return (host, prefixes, delay_ms)
+        return _fetch_one_robots(host, base, timeout_s, opener)
 
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         return list(pool.map(one, sites))
+
+
+def fetch_robots_df(
+    sites_df: DataFrame,
+    timeout_s: float = 5.0,
+    max_concurrency: int = 16,
+    opener=None,
+) -> DataFrame:
+    """Distributed cache fill — the shape the 10^10 frontier needs when
+    new-host arrival outgrows the driver (~10^7 hosts total): the same
+    fetch+parse as ``fetch_robots_rows``, as an Arrow-batched
+    ``mapInPandas`` over (host, site) rows. Each python worker runs its
+    own bounded socket pool; parsed ROBOTS rows land in the job's output
+    with zero per-host driver traffic. ``opener`` must be picklable
+    (module-level) — None uses urllib."""
+    import pandas as pd
+
+    def fetch_batches(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                rows = list(
+                    pool.map(
+                        lambda hb: _fetch_one_robots(
+                            hb[0], hb[1], timeout_s, opener
+                        ),
+                        zip(pdf["host"], pdf["site"]),
+                    )
+                )
+                yield pd.DataFrame(
+                    {
+                        "host": [r[0] for r in rows],
+                        "disallow_prefixes": [r[1] for r in rows],
+                        "crawl_delay_ms": [r[2] for r in rows],
+                    }
+                )
+
+    from ..schemas import ROBOTS_SCHEMA
+
+    return sites_df.select("host", "site").mapInPandas(
+        fetch_batches, ROBOTS_SCHEMA
+    )
 
 
 def sim_robots_config(rows: list[tuple], round_time_budget_ms: int = 1000) -> dict:
