@@ -111,3 +111,35 @@ def test_engine_crawl_with_bucketed_compaction(spark, tmp_path):
     assert got == sim.crawl_order
     seen = {r["image_id"] for r in eng.gather().select("image_id").collect()}
     assert seen == sim.seen_set
+
+
+def test_recompaction_vacuum_prunes_dead_marker_files(spark, tmp_path):
+    """A bucketed base dir written via partitionBy carries plain files
+    (_SUCCESS) alongside its bucket= subdirs. After a re-compaction the
+    old base dir is only PARTIALLY live (untouched buckets re-referenced
+    in place), so vacuum's pruning loop walks its children — and must
+    os.remove the dead plain files, not shutil.rmtree them (rmtree on a
+    file fails and ignore_errors used to swallow it, accumulating dead
+    markers in every reused base dir)."""
+    t = _table(spark, tmp_path, "wh")
+    t.append(spark.createDataFrame([(f"k{i}", i, 1) for i in range(400)], SCHEMA))
+    c1 = t.compact(spark, buckets=16)
+    base_dir = os.path.dirname(next(iter(
+        t._read_manifest(c1)["meta"]["bucket_dirs"].values()
+    )))
+    # compact()'s own vacuum already prunes the marker (the base dir is
+    # partially-live from birth: only bucket= subdirs are referenced)
+    assert not os.path.exists(os.path.join(base_dir, "_SUCCESS"))
+    # plant a dead plain file to pin the re-compaction prune walk too
+    with open(os.path.join(base_dir, "_SUCCESS"), "w"):
+        pass
+
+    t.append(spark.createDataFrame([("k5", 9005, 2)], SCHEMA))
+    expect = _state(t, spark)
+    t.compact(spark, buckets=16)  # partially-live old base -> prune walk
+
+    leftovers = [
+        f for f in os.listdir(base_dir) if not f.startswith("bucket=")
+    ]
+    assert leftovers == [], f"dead marker files survived vacuum: {leftovers}"
+    assert _state(t, spark) == expect

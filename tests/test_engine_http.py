@@ -228,6 +228,22 @@ def test_distributed_robots_cache_fill(spark, server, tmp_path):
     assert len(rows) == 1 and list(rows[0]["disallow_prefixes"]) == ["/img/"]
 
 
+def test_distributed_robots_scheme_kwarg(spark, server, tmp_path):
+    """enable_auto_robots(distributed=True, scheme=...) must not crash:
+    'scheme' only applies to the driver-side fetch (bare hosts need an
+    authority), so the distributed cache fill filters kwargs to
+    fetch_robots_df's signature instead of forwarding blindly (which
+    raised TypeError on the first round's fill)."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="scale")
+    eng.set_http_fetcher(max_concurrency=4, backoff_base_s=0.01, timeout_s=5.0)
+    eng.enable_auto_robots(distributed=True, scheme="http", timeout_s=5.0)
+    eng.seed_urls([f"{server}/cat/0"], url_types=["root"])
+    eng.run(max_rounds=10)
+    state = {r["url"]: r["status"] for r in eng.frontier.latest_state(spark).collect()}
+    assert state[f"{server}/img/1"] == "blocked"
+    assert state[f"{server}/cat/1"] == "done"
+
+
 def test_refresh_robots_idempotent(spark, server, tmp_path):
     """The public refresh_robots guards against re-fetch/duplicate rows
     itself (not just via run_round's anti-join): a duplicated host row

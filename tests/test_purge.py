@@ -180,3 +180,14 @@ def test_purge_unknown_key_is_harmless(spark, tmp_path):
     n = eng.gather().count()
     eng.purge_images(["no-such-key"])
     assert eng.gather().count() == n
+
+
+def test_purge_vacuum_before_any_store(spark, tmp_path):
+    """purge_vacuum on a warehouse whose images table has NO commits must
+    return 0, not raise: an empty table reads as an in-memory
+    createDataFrame relation where the _metadata file-source column does
+    not exist (purge_images before the first fetch is a legal GDPR
+    sequence — the tombstone alone already gates future enqueues)."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.purge_images(["img_never_stored"])
+    assert eng.purge_vacuum() == 0

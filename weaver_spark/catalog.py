@@ -212,7 +212,13 @@ class DeltaTable:
                 if sfull not in live and not any(
                     p.startswith(sfull + os.sep) for p in live
                 ):
-                    shutil.rmtree(sfull, ignore_errors=True)
+                    if os.path.isdir(sfull):
+                        shutil.rmtree(sfull, ignore_errors=True)
+                    else:  # plain files (e.g. _SUCCESS) from partitionBy
+                        try:
+                            os.remove(sfull)
+                        except OSError:
+                            pass
 
     # -- reads ------------------------------------------------------------
 

@@ -281,10 +281,18 @@ class CrawlEngine:
     def refresh_robots_df(self, sites_df: DataFrame) -> int:
         """Distributed cache fill: fetch+parse robots.txt for the given
         (host, site) rows as one Spark job, commit the parsed rows to the
-        durable robots table. Callers pass only NOT-yet-cached hosts."""
+        durable robots table. Callers pass only NOT-yet-cached hosts.
+
+        Kwargs from enable_auto_robots are filtered to fetch_robots_df's
+        signature: 'scheme' only applies to the driver-side variant
+        (bare-host sites need an authority; here the site column already
+        carries scheme://host:port extracted from the pending URLs)."""
+        import inspect
+
         from .operators.robots import fetch_robots_df
 
-        kw = {k: v for k, v in self._auto_robots.items() if k != "distributed"}
+        accepted = set(inspect.signature(fetch_robots_df).parameters) - {"sites_df"}
+        kw = {k: v for k, v in self._auto_robots.items() if k in accepted}
         rows = fetch_robots_df(sites_df, **kw).persist()
         n = rows.count()
         if n:
@@ -557,6 +565,10 @@ class CrawlEngine:
         spark = self.spark
         p = self._purge_watermarks()
         if p is None:
+            return 0
+        if not self.images.last_commit():
+            # empty table reads come from createDataFrame (no file-source
+            # relation), where _metadata does not exist — nothing to vacuum
             return 0
         rows = self.images.read(
             spark, schema=self._images_keys_schema()
