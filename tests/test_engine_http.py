@@ -290,3 +290,45 @@ def test_http_crawl_404_marks_failed(spark, server):
     rows = state.collect()
     assert len(rows) == 1 and rows[0]["status"] == "failed"
     assert eng.images.read(spark).count() == 0
+
+
+def test_in_round_crawl_delay_pacing(spark, tmp_path):
+    """North-rule politeness promise, engine-level: a host with a robots
+    crawl-delay receives its in-round requests SPACED >= delay apart in
+    wall time, not just capped per round. The engine routes the delayed
+    host's rows into one fetch task (constant salt) and the HTTP fetcher
+    paces inside it — server-side arrival timestamps are the witness."""
+    import time as _time
+
+    arrivals: list[float] = []
+    lock = threading.Lock()
+
+    class _TimedHandler(_Handler):
+        def do_GET(self):
+            with lock:
+                arrivals.append(_time.monotonic())
+            super().do_GET()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _TimedHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    host = "127.0.0.1"  # the frontier's politeness key is the bare host
+    delay_ms = 300
+    try:
+        eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="scale")
+        eng.set_http_fetcher(max_concurrency=8, backoff_base_s=0.01, timeout_s=5.0)
+        eng.set_url_classifier([(r"/cat/\d+$", "root")])
+        eng.set_robots([(host, [], delay_ms)])
+        eng.seed_urls([f"{base}/cat/0"], url_types=["root"])
+        eng.run(max_rounds=10)
+    finally:
+        srv.shutdown()
+
+    state = {r["url"]: r["status"] for r in eng.frontier.latest_state(spark).collect()}
+    assert state[f"{base}/img/1"] == "done"
+    assert state[f"{base}/img/3"] == "done"  # crawl completed through cat/1
+    # cap = 1000ms // 300ms = 3 fetches/round; each round's arrivals must
+    # be spaced >= ~delay apart (between-round gaps are larger still)
+    gaps = [b - a for a, b in zip(arrivals, arrivals[1:])]
+    assert len(arrivals) >= 6
+    assert all(g >= delay_ms / 1000 * 0.9 for g in gaps), gaps

@@ -54,7 +54,7 @@ from .catalog import Catalog, DeltaTable
 from .functions.urls import canonicalize_series, resolve_series
 from .operators.fetch import make_synthetic_fetch_fn
 from .operators.ranking import budget_rank, dense_seq, topk_per_group
-from .operators.robots import DELAY_CAP_COL, apply_robots
+from .operators.robots import DELAY_CAP_COL, DELAY_MS_COL, apply_robots
 from .operators.seen import BloomSeenSet, antijoin_bloom, antijoin_exact
 from .schemas import (
     FETCH_RESULT_SCHEMA,
@@ -778,7 +778,8 @@ class CrawlEngine:
         if self.track_leases:
             ucid = self.frontier.last_commit() + 1
             leased = (
-                batch.withColumn("status", F.lit(STATUS_LEASED))
+                batch.drop(DELAY_MS_COL)  # pacing hint, not frontier state
+                .withColumn("status", F.lit(STATUS_LEASED))
                 .withColumn("lease_ts", F.current_timestamp())
                 .withColumn("update_seq", F.lit(ucid).cast("long"))
             )
@@ -792,10 +793,12 @@ class CrawlEngine:
         # small columns). No multi-GB JVM caches, flat memory at any
         # round size, no recompute hazard inside write jobs.
         pages = self.web_pages
+        # crawl-delay rides into the fetch stage for in-round pacing
+        in_cols = ["url", "enqueue_seq", "host", "url_type", "depth"]
+        if DELAY_MS_COL in batch.columns:
+            in_cols.append(DELAY_MS_COL)
         if pages is not None:
-            fetch_input = batch.select(
-                "url", "enqueue_seq", "host", "url_type", "depth"
-            ).join(
+            fetch_input = batch.select(*in_cols).join(
                 pages.select(
                     F.col("url"),
                     F.col("kind").alias("page_kind"),
@@ -809,9 +812,7 @@ class CrawlEngine:
             )
         else:
             # HTTP mode: no page source — the fetch UDF talks to the web
-            fetch_input = batch.select(
-                "url", "enqueue_seq", "host", "url_type", "depth"
-            )
+            fetch_input = batch.select(*in_cols)
         # Pre-fetch payload dedup (J1/S6/F8, moved AHEAD of the fetch):
         # payload keys are known before fetching (the page join provides
         # image_id; in the http path the key is the URL itself), so
@@ -931,11 +932,17 @@ class CrawlEngine:
         # python-worker/arrow setup is milliseconds against multi-second
         # tasks.
         n_fetch_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-        fetch_input = fetch_input.repartition(
-            n_fetch_parts,
-            F.col("host"),
-            F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets)),
-        )
+        salt = F.pmod(F.xxhash64("url"), F.lit(self.salt_buckets))
+        if DELAY_MS_COL in fetch_input.columns:
+            # crawl-delayed hosts get a CONSTANT salt: all of a delayed
+            # host's rows hash to one partition, so the fetch task owns
+            # the host's clock and can space its requests >= delay apart
+            # (fetch.py paced_fetch). No skew risk — a delayed host is
+            # already capped at round_ms/delay rows by the scheduler.
+            salt = F.when(
+                F.coalesce(F.col(DELAY_MS_COL) > 0, F.lit(False)), F.lit(0)
+            ).otherwise(salt)
+        fetch_input = fetch_input.repartition(n_fetch_parts, F.col("host"), salt)
         stage_dir = os.path.join(self.stage_root, f"r{round_no:05d}")
         # dictionary encoding off: the dominant stage bytes are unique
         # 10-25 KB image payloads — parquet dictionary building hashes

@@ -127,6 +127,16 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
     return fetch_fn
 
 
+# synthetic status codes for locally-rejected responses (>=400 so the
+# metrics/failure accounting treats them as failed fetches; none retry —
+# retrying an oversize body or a wrong media type returns the same answer)
+STATUS_UNSUPPORTED_MEDIA = 597  # Content-Type outside allowed_content_types
+STATUS_BODY_TOO_LARGE = 598  # body exceeded max_body_bytes (never buffered)
+STATUS_CONNECT_FAILED = 599  # all retries exhausted on socket errors
+
+_READ_CHUNK = 1 << 20  # 1 MiB: bounds slow-loris wall time to cap/chunk*timeout
+
+
 def make_http_fetch_fn(
     k_cap: int | None,
     link_selector_re: str = r'href="([^"]+)"',
@@ -135,6 +145,8 @@ def make_http_fetch_fn(
     max_concurrency: int = 16,
     backoff_base_s: float = 1.0,
     opener=None,
+    max_body_bytes: int = 64 * 1024 * 1024,
+    allowed_content_types: tuple | None = None,
 ):
     """Production-shaped HTTP fetcher (reference retryVisit semantics:
     5 attempts, 2^i s backoff — ``amazonRootHandler.go:14-26``).
@@ -149,6 +161,24 @@ def make_http_fetch_fn(
     (the CSS-selector analogue, U1 registry), payload pages through the
     image codec. ``opener(url, timeout) -> response`` is injectable so
     tests run against a local http.server without monkeypatching.
+
+    Hostile-web bounds (a 10^10-URL crawl WILL hit all of these):
+
+    - ``max_body_bytes``: bodies are read in 1 MiB chunks and abandoned
+      the moment the cap is crossed (status 598) — a multi-GB response
+      can never buffer into a python worker, and a slow-loris stream is
+      bounded at cap/chunk socket timeouts. Content-Length, when the
+      server sends an honest one, rejects before the first byte.
+    - ``allowed_content_types``: prefix allowlist (e.g. ``("text/",
+      "image/")``) checked against Content-Type BEFORE the body is read
+      (status 597). None = no gate.
+
+    In-round politeness pacing: rows arriving with a positive
+    ``_delay_ms`` column (robots crawl-delay, carried by apply_robots;
+    the engine routes each delayed host into a single task) are fetched
+    SEQUENTIALLY per host with >= delay_ms between one response and the
+    next request — the per-round cap bounds volume, this bounds rate.
+    Undelayed rows keep full pool concurrency.
     """
     import re
     import urllib.error
@@ -162,27 +192,118 @@ def make_http_fetch_fn(
 
     def fetch_one(url: str) -> tuple[int, bytes, int]:
         t0 = time.perf_counter()
+
+        def ms() -> int:
+            return int((time.perf_counter() - t0) * 1000)
+
         for attempt in range(max_retries):
             try:
                 with _open(url, timeout_s) as r:
-                    body = r.read()
-                    return r.status, body, int((time.perf_counter() - t0) * 1000)
+                    headers = getattr(r, "headers", None)
+                    if allowed_content_types is not None:
+                        ctype = (
+                            (headers.get("Content-Type") or "").lower()
+                            if headers is not None
+                            else ""
+                        )
+                        if not any(
+                            ctype.startswith(p) for p in allowed_content_types
+                        ):
+                            return STATUS_UNSUPPORTED_MEDIA, b"", ms()
+                    clen = (
+                        headers.get("Content-Length")
+                        if headers is not None
+                        else None
+                    )
+                    if clen is not None:
+                        try:
+                            if int(clen) > max_body_bytes:
+                                return STATUS_BODY_TOO_LARGE, b"", ms()
+                        except ValueError:
+                            pass  # dishonest header: the chunk loop decides
+                    chunks: list[bytes] = []
+                    total = 0
+                    while True:
+                        c = r.read(_READ_CHUNK)
+                        if not c:
+                            break
+                        total += len(c)
+                        if total > max_body_bytes:
+                            return STATUS_BODY_TOO_LARGE, b"", ms()
+                        chunks.append(c)
+                    return r.status, b"".join(chunks), ms()
             except urllib.error.HTTPError as e:
                 # a status line IS an answer — 404 is not a flaky socket
-                return e.code, b"", int((time.perf_counter() - t0) * 1000)
+                return e.code, b"", ms()
             except Exception:
                 if attempt == max_retries - 1:
                     break
                 time.sleep(min(backoff_base_s * (2.0**attempt), 30.0))
-        return 599, b"", int((time.perf_counter() - t0) * 1000)
+        return STATUS_CONNECT_FAILED, b"", ms()
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition pacing state: last response-completion time per
+        # delayed host. The engine's (host, 0)-salted routing puts ALL of
+        # a delayed host's rows in this partition, so this dict is the
+        # host's single authoritative clock for the round.
+        last_done: dict[str, float] = {}
+
+        def paced_fetch(host: str, idxs: list, delay_s: float, urls: list):
+            out = []
+            for i in idxs:
+                wait = last_done.get(host, float("-inf")) + delay_s - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                r = fetch_one(urls[i])
+                last_done[host] = time.monotonic()
+                out.append((i, r))
+            return out
+
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
                 n = len(pdf)
                 urls = pdf["url"].tolist()
                 url_types = pdf["url_type"].tolist()
-                fetched = list(pool.map(fetch_one, urls))
+                if "_delay_ms" in pdf.columns:
+                    delays = (
+                        pd.to_numeric(pdf["_delay_ms"], errors="coerce")
+                        .fillna(0)
+                        .to_numpy()
+                    )
+                else:
+                    delays = None
+                if delays is None or not (delays > 0).any():
+                    fetched = list(pool.map(fetch_one, urls))
+                else:
+                    hosts = pdf["host"].tolist()
+                    per_host: dict[str, list] = {}
+                    plain: list[int] = []
+                    for i in range(n):
+                        if delays[i] > 0:
+                            per_host.setdefault(hosts[i], []).append(i)
+                        else:
+                            plain.append(i)
+                    futs = [
+                        pool.submit(lambda i=i: (i, fetch_one(urls[i])))
+                        for i in plain
+                    ]
+                    pfuts = [
+                        pool.submit(
+                            paced_fetch,
+                            h,
+                            idxs,
+                            float(delays[idxs[0]]) / 1000.0,
+                            urls,
+                        )
+                        for h, idxs in per_host.items()
+                    ]
+                    fetched = [None] * n
+                    for f in futs:
+                        i, r = f.result()
+                        fetched[i] = r
+                    for f in pfuts:
+                        for i, r in f.result():
+                            fetched[i] = r
                 out = {
                     "url": pdf["url"],
                     "enqueue_seq": pdf["enqueue_seq"],

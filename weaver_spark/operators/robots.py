@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 # fetch cap derived from crawl_delay_ms (null = uncapped)
 DELAY_CAP_COL = "_delay_cap"
 
+# raw crawl_delay_ms carried onto allowed rows (0/null = no delay): the
+# fetch stage uses it for IN-ROUND request spacing — the per-round cap
+# bounds volume, but the politeness promise to the host is inter-request
+# spacing, which only the fetch task can enforce (engine routes rows of
+# a delayed host into one task and the HTTP fetcher sleeps between them)
+DELAY_MS_COL = "_delay_ms"
+
 
 def delay_cap_expr(round_time_budget_ms: int = 1000):
     """Per-round fetch cap for a host with crawl_delay_ms: at most one
@@ -58,15 +65,17 @@ def apply_robots(
     """Split the pending set into (allowed, blocked) under a robots table.
 
     ``allowed`` carries ``_delay_cap`` (int, null = no cap) for the
-    scheduler window; ``blocked`` rows matched a disallow prefix and must
-    never be fetched. The robots side is broadcast — the frontier is
-    filtered map-side with zero shuffle.
+    scheduler window and ``_delay_ms`` (raw crawl_delay_ms, null = none)
+    for in-round request spacing in the fetch stage; ``blocked`` rows
+    matched a disallow prefix and must never be fetched. The robots side
+    is broadcast — the frontier is filtered map-side with zero shuffle.
     """
     r = F.broadcast(
         robots.select(
             F.col("host").alias("_r_host"),
             "disallow_prefixes",
             delay_cap_expr(round_time_budget_ms).alias(DELAY_CAP_COL),
+            F.col("crawl_delay_ms").alias(DELAY_MS_COL),
         )
     )
     joined = pending.join(r, pending["host"] == r["_r_host"], "left").drop("_r_host")
@@ -74,7 +83,9 @@ def apply_robots(
     disallowed = F.coalesce(
         F.exists("disallow_prefixes", lambda p: path.startswith(p)), F.lit(False)
     )
-    blocked = joined.where(disallowed).drop("disallow_prefixes", DELAY_CAP_COL)
+    blocked = joined.where(disallowed).drop(
+        "disallow_prefixes", DELAY_CAP_COL, DELAY_MS_COL
+    )
     allowed = joined.where(~disallowed).drop("disallow_prefixes")
     return allowed, blocked
 
