@@ -60,6 +60,63 @@ def test_bloom_built_once_and_maintained(spark, web, tmp_path, monkeypatch):
     assert len(stored) == len(sim.seen_set)  # no duplicate stores
 
 
+def test_bloom_restart_reloads_checkpoint(spark, web, tmp_path, monkeypatch):
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, mode="reproduction", seen_filter="bloom")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=20)
+    first = _stored(eng)
+    assert os.path.exists(os.path.join(wh, "_filters", "bloom", "current.json"))
+
+    def boom(*a, **kw):  # a restart must never pay the O(seen) rebuild
+        raise AssertionError("BloomSeenSet.build called after restart")
+
+    monkeypatch.setattr(seen_mod.BloomSeenSet, "build", staticmethod(boom))
+    eng2 = CrawlEngine(spark, wh, mode="reproduction", seen_filter="bloom")
+    eng2.set_web(web)
+    eng2.seed_urls(web.seeds)  # re-enqueue everything: all dup payloads
+    eng2.run(max_rounds=20)
+    assert _stored(eng2) == first  # nothing re-stored, nothing lost
+
+
+def test_bloom_watermark_catchup_prevents_dup_stores(spark, web, tmp_path, monkeypatch):
+    """Same crash window as the cuckoo test: images commit landed but the
+    filter save didn't. The reloaded bitmap is missing those keys —
+    without the watermark catch-up they'd probe definitely-new, skip the
+    exact join, and be stored AGAIN. Simulate with an all-zero bitmap
+    stamped at watermark 0."""
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, mode="reproduction", seen_filter="bloom")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=20)
+    first = _stored(eng)
+
+    fdir = os.path.join(wh, "_filters", "bloom")
+    filt, wm = seen_mod.BloomSeenSet.load(fdir)
+    assert wm == eng.images.last_commit()
+    empty = seen_mod.BloomSeenSet(
+        filt.bits_per_shard,
+        filt.n_hashes,
+        filt.shards * 0,
+        capacity=filt.capacity,
+        n_inserted=0,
+    )
+    empty.save(fdir, watermark=0)
+
+    monkeypatch.setattr(
+        seen_mod.BloomSeenSet,
+        "build",
+        staticmethod(lambda *a, **kw: (_ for _ in ()).throw(AssertionError("rebuild"))),
+    )
+    eng2 = CrawlEngine(spark, wh, mode="reproduction", seen_filter="bloom")
+    eng2.set_web(web)
+    eng2.seed_urls(web.seeds)
+    eng2.run(max_rounds=20)
+    assert _stored(eng2) == first  # catch-up restored coverage: no dups
+
+
 def test_cuckoo_restart_reloads_checkpoint(spark, web, tmp_path, monkeypatch):
     wh = str(tmp_path / "wh")
     eng = CrawlEngine(spark, wh, mode="reproduction", seen_filter="cuckoo")

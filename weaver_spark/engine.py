@@ -151,6 +151,7 @@ class CrawlEngine:
         self._cuckoo = None
         self._bloom = None
         self._cuckoo_dir = os.path.join(warehouse, "_filters", "cuckoo")
+        self._bloom_dir = os.path.join(warehouse, "_filters", "bloom")
         self.track_leases = track_leases
         self.lease_timeout_s = lease_timeout_s
         self.seed = seed
@@ -846,6 +847,24 @@ class CrawlEngine:
             if self._bloom is not None and self._bloom.over_capacity:
                 self._bloom = None
             if self._bloom is None:
+                # warehouse checkpoint first (same contract as cuckoo):
+                # catch up commits past the saved watermark in O(delta),
+                # clamp a stale post-rollback watermark to the current
+                # head so reused commit ids can't skip a future catch-up
+                loaded = BloomSeenSet.load(self._bloom_dir)
+                if loaded is not None:
+                    filt, wm = loaded
+                    cur = self.images.last_commit()
+                    if wm < cur:  # crash between images commit and save
+                        filt.insert_df(
+                            self.images.read_since(spark, wm).select("image_id"),
+                            "image_id",
+                        )
+                    if not filt.over_capacity:
+                        if wm != cur:
+                            filt.save(self._bloom_dir, cur)
+                        self._bloom = filt
+            if self._bloom is None:
                 seen_count = seen_keys.count()
                 self._bloom = BloomSeenSet.build(
                     seen_keys,
@@ -853,6 +872,7 @@ class CrawlEngine:
                     expected_items=max(seen_count * 4, 4096),
                     n_shards=4,
                 )
+                self._bloom.save(self._bloom_dir, self.images.last_commit())
             winner_keys = antijoin_bloom(
                 firsts, seen_keys, "image_id", filt=self._bloom
             )
@@ -1013,12 +1033,13 @@ class CrawlEngine:
         # persistent filter via its DISTRIBUTED insert path (bloom: one
         # partial bitmap per task, OR-merged; cuckoo: one task per shard
         # returning one blob) — the driver receives fixed-size blobs,
-        # never per-key rows. Cuckoo state checkpoints to the warehouse
+        # never per-key rows. Both filters checkpoint to the warehouse
         # so a restart resumes from the watermark.
         if img_commit is not None and self.seen_filter in ("bloom", "cuckoo"):
             new_keys = winner_keys.select("image_id")
             if self.seen_filter == "bloom":
                 self._bloom.insert_df(new_keys, "image_id")
+                self._bloom.save(self._bloom_dir, self.images.last_commit())
             else:
                 self._cuckoo.insert_df(new_keys, "image_id")
                 self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())

@@ -123,6 +123,9 @@ class CuckooSeenSet:
         # deletion support: buckets whose contents were mutated by a
         # delete — probes there must exact-confirm (see module docstring)
         self.dirty: set[tuple[int, int]] = set()
+        # sorted encoded (shard * n_buckets + bucket) view of `dirty` for
+        # vectorized probing; rebuilt lazily when the set changes
+        self._dirty_codes: np.ndarray | None = None
         self._bc = None  # cached probe broadcast (invalidated on mutation)
 
     @property
@@ -196,10 +199,28 @@ class CuckooSeenSet:
         hit |= (self.shards[shard, i2] == fp_col).any(axis=1)
         hit |= self.saturated[shard]
         if self.dirty:
-            for j in np.flatnonzero(~hit):
-                if (shard[j], i1[j]) in self.dirty or (shard[j], i2[j]) in self.dirty:
-                    hit[j] = True
+            # vectorized dirty-bucket check: only the misses are tested,
+            # against the sorted encoded array (np.isin = binary search),
+            # not a per-row python set lookup
+            miss = np.flatnonzero(~hit)
+            if len(miss):
+                codes = self._dirty_code_arr()
+                s64 = shard[miss].astype(np.int64) * np.int64(m)
+                c1 = s64 + i1[miss].astype(np.int64)
+                c2 = s64 + i2[miss].astype(np.int64)
+                hit[miss] |= np.isin(c1, codes) | np.isin(c2, codes)
         return hit
+
+    def _dirty_code_arr(self) -> np.ndarray:
+        if self._dirty_codes is None or len(self._dirty_codes) != len(self.dirty):
+            codes = np.fromiter(
+                (s * self.n_buckets + b for s, b in self.dirty),
+                dtype=np.int64,
+                count=len(self.dirty),
+            )
+            codes.sort()
+            self._dirty_codes = codes
+        return self._dirty_codes
 
     def _invalidate_broadcast(self) -> None:
         if self._bc is not None:
@@ -410,6 +431,7 @@ class CuckooSeenSet:
                     self.dirty.add((int(shard[j]), b))
                     removed += 1
                     break
+        self._dirty_codes = None
         self._invalidate_broadcast()
         return removed
 

@@ -172,6 +172,66 @@ class BloomSeenSet:
             )
         return self._bc
 
+    # -- persistence (restart without the O(seen) rebuild) -----------------
+
+    def save(self, dirpath: str, watermark: int) -> None:
+        """Persist shard bitmaps + metadata under the warehouse — the
+        same crash discipline as the cuckoo checkpoint (blob file first,
+        then the ``current.json`` pointer via write-temp + atomic
+        rename). ``watermark`` records the images-table commit the
+        filter covers; ``load`` + an O(delta) ``insert_df`` of
+        ``read_since(watermark)`` resumes a restart without the O(seen)
+        rebuild the in-process-only filter used to pay."""
+        import json
+        import os
+        import secrets
+
+        os.makedirs(dirpath, exist_ok=True)
+        token = secrets.token_hex(4)
+        blob = f"state-{token}.npz"
+        np.savez(os.path.join(dirpath, blob), shards=self.shards)
+        meta = {
+            "file": blob,
+            "watermark": watermark,
+            "bits_per_shard": self.bits_per_shard,
+            "n_hashes": self.n_hashes,
+            "capacity": self.capacity,
+            "n_inserted": self.n_inserted,
+        }
+        tmp = os.path.join(dirpath, f".tmp-{token}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(dirpath, "current.json"))  # POSIX-atomic
+        for fn in os.listdir(dirpath):  # retire superseded blobs
+            if fn.startswith("state-") and fn != blob:
+                try:
+                    os.remove(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+
+    @staticmethod
+    def load(dirpath: str) -> tuple["BloomSeenSet", int] | None:
+        """Reload a saved filter; returns (filter, watermark) or None if
+        nothing (readable) is persisted."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(dirpath, "current.json")) as f:
+                meta = json.load(f)
+            with np.load(os.path.join(dirpath, meta["file"])) as z:
+                shards = z["shards"].copy()
+            filt = BloomSeenSet(
+                meta["bits_per_shard"],
+                meta["n_hashes"],
+                shards,
+                capacity=meta["capacity"],
+                n_inserted=meta["n_inserted"],
+            )
+        except (OSError, KeyError, ValueError):
+            return None
+        return filt, int(meta["watermark"])
+
     def might_contain_udf(self, spark):
         """Vectorized membership probe as a pandas UDF over (_bh1, _bh2)."""
         bc = self._broadcast(spark)
