@@ -171,6 +171,57 @@ def test_purge_vacuum_physically_deletes(spark, tmp_path):
     assert key not in {r["image_id"] for r in eng.gather().collect()}
 
 
+def test_purge_vacuum_batches_multi_commit_purge(spark, tmp_path, monkeypatch):
+    """A purge whose dead rows span several commits completes in ONE
+    Spark write job (all touched dirs read together, output partitioned
+    by owning dir) — not one driver-looped job per dir, which serializes
+    at bulk-redaction frequency. Survivors stay byte-identical."""
+    import os
+
+    web = make_web(seed=7, n_hosts=4, n_seed_roots=3, depth=3)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    # one victim key per physical data dir: the purge touches every
+    # payload commit the crawl made
+    rows = (
+        eng.images.read(spark, schema=eng._images_keys_schema())
+        .withColumn("_f", F.col("_metadata.file_path"))
+        .select("image_id", "_f")
+        .collect()
+    )
+    by_dir: dict = {}
+    for r in rows:
+        by_dir.setdefault(os.path.dirname(r["_f"]), r["image_id"])
+    keys = sorted(by_dir.values())
+    assert len(by_dir) >= 3  # the purge spans >= 3 commit dirs
+    before = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.images.read(spark).collect()
+    }
+    eng.purge_images(keys)
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    writes = []
+    orig = DataFrameWriter.parquet
+
+    def counted(self, path, **kw):
+        writes.append(path)
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", counted)
+    assert eng.purge_vacuum() >= 3  # every touched dir was rewritten...
+    assert len(writes) == 1  # ...by exactly one Spark write job
+    after = {
+        r["image_id"]: (r["phash"], bytes(r["bytes"]))
+        for r in eng.images.read(spark).collect()
+    }
+    assert after == {k: v for k, v in before.items() if k not in set(keys)}
+    assert eng.purge_vacuum() == 0  # idempotent
+
+
 def test_purge_unknown_key_is_harmless(spark, tmp_path):
     web = make_web(seed=6, n_hosts=2, n_seed_roots=1, depth=1)
     eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")

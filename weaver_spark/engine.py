@@ -593,41 +593,79 @@ class CrawlEngine:
             return 0
         import secrets
 
-        n_rewritten = 0
+        # manifest bookkeeping: which live commits own a touched dir
+        touched: list[tuple[int, dict, set[str]]] = []
         for cid, m in self.images._live_manifests(None):
             if m.get("tombstone"):
                 continue
-            new_files, changed = [], False
+            tdirs = {
+                d
+                for d in m["files"]
+                if any(f.startswith(d + os.sep) for f in dead_files)
+            }
+            if tdirs:
+                touched.append((cid, m, tdirs))
+        all_dirs = sorted(d for _, _, ds in touched for d in ds)
+        names = [os.path.basename(d) for d in all_dirs]
+        # dir basenames are unique by construction (commit id + random
+        # token / round number) — the single-job rewrite keys on them
+        assert len(set(names)) == len(names), names
+        # ONE job rewrites every touched dir: read them together (physical
+        # schemas unioned — absent columns surface as null, same read
+        # semantics as before), keep survivors, write partitioned by the
+        # owning dir's basename. A purge spanning N commits costs one
+        # Spark job, not N driver-looped read+write jobs.
+        stage = os.path.join(
+            self.images.root, "data", f"pvstage{secrets.token_hex(4)}"
+        )
+        src = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*all_dirs)
+            .withColumn(
+                "_pv_owner",
+                F.substring_index(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "/[^/]+$", ""
+                    ),
+                    "/",
+                    -1,
+                ),
+            )
+        )
+        keep = (
+            src.join(F.broadcast(p), "image_id", "left")
+            .where(
+                F.col("_purge_seq").isNull()
+                | (F.col("enqueue_seq") > F.col("_purge_seq"))
+            )
+            .drop("_purge_seq")
+        )
+        keep.write.partitionBy("_pv_owner").parquet(stage)
+        # re-home each surviving partition as a plain top-level data dir
+        # (manifest entries keep the same shape as any other commit dir;
+        # a dir whose rows all died simply has no partition to re-home)
+        n_rewritten = 0
+        for cid, m, tdirs in touched:
+            new_files = []
             for d in m["files"]:
-                if not any(f.startswith(d + os.sep) for f in dead_files):
+                if d not in tdirs:
                     new_files.append(d)
                     continue
-                changed = True
                 n_rewritten += 1
-                src = spark.read.parquet(d)  # full physical schema
-                keep = (
-                    src.join(F.broadcast(p), "image_id", "left")
-                    .where(
-                        F.col("_purge_seq").isNull()
-                        | (F.col("enqueue_seq") > F.col("_purge_seq"))
-                    )
-                    .drop("_purge_seq")
-                    .persist()
-                )
-                if keep.count():
+                part = os.path.join(stage, f"_pv_owner={os.path.basename(d)}")
+                if os.path.isdir(part):
                     newd = os.path.join(
                         self.images.root,
                         "data",
                         f"c{cid:08d}-pv{secrets.token_hex(4)}",
                     )
-                    keep.write.parquet(newd)
+                    os.rename(part, newd)
                     new_files.append(newd)
-                keep.unpersist()
-            if changed:
-                self.images._write_manifest(
-                    cid,
-                    {"files": new_files, "meta": {**m.get("meta", {}), "purge_vacuumed": True}},
-                )
+            self.images._write_manifest(
+                cid,
+                {"files": new_files, "meta": {**m.get("meta", {}), "purge_vacuumed": True}},
+            )
+        shutil.rmtree(stage, ignore_errors=True)  # leftovers: _SUCCESS
         self.images.vacuum()  # old dirs are now unreferenced: delete bytes
         return n_rewritten
 
