@@ -124,3 +124,32 @@ def test_base_never_shuffles(spark, table):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_delta_table_satisfies_backend_protocol(tmp_path):
+    """The backend seam (catalog.TableBackend): DeltaTable must expose
+    every method the engine programs against, so the Iceberg swap on a
+    real cluster is one new class behind Catalog.table — engine code
+    never touches a backend-private API (enforced here by source grep)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from weaver_spark.catalog import DeltaTable, TableBackend
+
+    t = DeltaTable(
+        str(tmp_path / "t"),
+        StructType([StructField("k", LongType(), False)]),
+        key="k",
+    )
+    assert isinstance(t, TableBackend)
+
+    import inspect
+
+    import weaver_spark.engine as engine_mod
+
+    src = inspect.getsource(engine_mod)
+    import re
+
+    privates = set(
+        re.findall(r"self\.(?:frontier|images|metrics|lineage|robots_table|purges)\.(_\w+)", src)
+    )
+    assert not privates, f"engine uses backend-private APIs: {privates}"

@@ -124,8 +124,9 @@ def test_http_crawl_end_to_end(spark, server):
 def test_robots_txt_parser():
     from weaver_spark.operators.robots import parse_robots_txt
 
-    prefixes, delay = parse_robots_txt(ROBOTS_TXT.decode())
+    prefixes, delay, allow = parse_robots_txt(ROBOTS_TXT.decode())
     assert prefixes == ["/img/"] and delay == 0  # megabot group ignored
+    assert allow == []
 
     # grouped agents, fractional delay, comments, junk lines
     txt = (
@@ -133,8 +134,16 @@ def test_robots_txt_parser():
         "Crawl-delay: 1.5\nnonsense line\nDisallow:\n"
         "\nUser-agent: b\nDisallow: /b-only/\n"
     )
-    prefixes, delay = parse_robots_txt(txt)
+    prefixes, delay, allow = parse_robots_txt(txt)
     assert prefixes == ["/private/"] and delay == 1500
+
+    # Allow lines collected for the wildcard group only
+    txt2 = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        "User-agent: b\nAllow: /b-only/\n"
+    )
+    prefixes, delay, allow = parse_robots_txt(txt2)
+    assert prefixes == ["/private/"] and allow == ["/private/pub/"]
 
 
 def test_http_crawl_live_robots_enforced(spark, server):

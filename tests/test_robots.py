@@ -107,3 +107,88 @@ def test_priority_roots_first_under_budget(spark, web, tmp_path_factory):
     state = eng.frontier.latest_state(spark)
     prios = {r["priority"] for r in state.select("priority").distinct().collect()}
     assert prios == {0, 1}
+
+
+def test_allow_precedence_rule():
+    """Longest-match precedence, ties to Allow — the one shared rule
+    (sim_is_disallowed) both engines consume."""
+    from weaver_spark.operators.robots import sim_is_disallowed
+
+    cfg = {"disallow": ["/item/"], "allow": ["/item/pub/"], "delay_cap": None}
+    assert sim_is_disallowed("/item/7", cfg)
+    assert not sim_is_disallowed("/item/pub/7", cfg)
+    assert not sim_is_disallowed("/other", cfg)
+    # equal-length conflict: Allow wins (Google semantics)
+    tie = {"disallow": ["/a/"], "allow": ["/a/"], "delay_cap": None}
+    assert not sim_is_disallowed("/a/x", tie)
+    # no config / no rules
+    assert not sim_is_disallowed("/item/7", None)
+    assert not sim_is_disallowed("/item/7", {"disallow": [], "allow": []})
+
+
+def test_apply_robots_allow_overrides(spark):
+    """apply_robots: Allow re-opens the longer-matching subtree of a
+    disallowed prefix, JVM-side; a robots table without the
+    allow_prefixes column (pre-upgrade cache) behaves as before."""
+    from weaver_spark.operators.robots import apply_robots
+    from weaver_spark.schemas import ROBOTS_SCHEMA
+
+    pending = spark.createDataFrame(
+        [
+            ("http://h1.test/item/7", "h1.test"),
+            ("http://h1.test/item/pub/7", "h1.test"),
+            ("http://h1.test/top", "h1.test"),
+            ("http://h2.test/item/7", "h2.test"),
+        ],
+        "url string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", ["/item/"], 0, ["/item/pub/"]), ("h2.test", ["/item/"], 0, None)],
+        ROBOTS_SCHEMA,
+    )
+    allowed, blocked = apply_robots(pending, robots)
+    assert {r["url"] for r in blocked.collect()} == {
+        "http://h1.test/item/7",
+        "http://h2.test/item/7",
+    }
+    assert {r["url"] for r in allowed.collect()} == {
+        "http://h1.test/item/pub/7",
+        "http://h1.test/top",
+    }
+
+    # pre-upgrade 3-column table: same blocked set as before the feature
+    legacy = spark.createDataFrame(
+        [("h1.test", ["/item/"], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    _, blocked2 = apply_robots(pending.where(F.col("host") == "h1.test"), legacy)
+    assert {r["url"] for r in blocked2.collect()} == {
+        "http://h1.test/item/7",
+        "http://h1.test/item/pub/7",
+    }
+
+
+def test_allow_parity_with_simulator(spark, web, tmp_path_factory):
+    """E2E: an Allow rule re-opening part of a disallowed subtree yields
+    identical crawl order / blocked set / stored payloads in engine and
+    simulator, and the rule is non-trivial on the fixture (some h1
+    leaves fetched, some blocked)."""
+    rows = make_robots(
+        n_hosts=4, disallow_hosts=(1, 3), slow_host=0, allow_spec={1: ["/item/1"]}
+    )
+    wh = str(tmp_path_factory.mktemp("wh_robots_allow"))
+    eng = _run_engine(spark, wh, web, rows, host_budget=2)
+    sim = simulate_crawl(web, host_budget=2, robots=sim_robots_config(rows))
+
+    got_order = [r["url"] for r in eng.crawl_order().collect()]
+    assert got_order == sim.crawl_order
+    state = eng.frontier.latest_state(spark)
+    got_blocked = {
+        r["url"] for r in state.where(F.col("status") == STATUS_BLOCKED).collect()
+    }
+    assert got_blocked == sim.blocked
+    h1_fetched = [u for u in got_order if u.startswith("http://h1.test/item/")]
+    h1_blocked = [u for u in got_blocked if u.startswith("http://h1.test/item/")]
+    assert h1_fetched and h1_blocked  # Allow actually split the subtree
+    got_stored = {r["image_id"] for r in eng.gather().select("image_id").collect()}
+    assert got_stored == sim.seen_set

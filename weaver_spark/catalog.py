@@ -42,10 +42,90 @@ import json
 import os
 import secrets
 import shutil
+from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+@runtime_checkable
+class TableBackend(Protocol):
+    """The complete table contract the crawl engine programs against —
+    the backend seam. ``DeltaTable`` (below) is the sandbox
+    implementation on plain parquet + a JSON commit log; on a real
+    cluster the Iceberg implementation is ONE new class satisfying this
+    protocol (engine.py imports only the protocol for its type surface
+    and ``Catalog.table`` is the single construction point). Per-method
+    Iceberg mapping:
+
+    - ``commits`` / ``last_commit``          -> snapshot ids / current
+      snapshot (``table.history()``).
+    - ``commit_meta`` / ``find_commit``      -> snapshot summary
+      properties (engine stamps {"op", "round", ...}; idempotence
+      lookups scan summaries).
+    - ``append``                             -> ``writeTo(t).append()``
+      with commit properties.
+    - ``append_rows``                        -> same, from a tiny local
+      DataFrame (driver-side rows; metrics/lineage/robots cardinality).
+    - ``adopt``                              -> ``add_files`` /
+      RewriteFiles (metadata-only adoption of an already-written
+      directory — the fetch stage writes payload bytes exactly once).
+    - ``delete_keys``                        -> MERGE INTO / positional
+      delete files (merge-on-read tombstones).
+    - ``read`` / ``read_since``              -> snapshot read /
+      incremental read between snapshots.
+    - ``latest_state``                       -> merge-on-read resolve
+      (Iceberg v2 equality deletes make this a plain table scan).
+    - ``rollback``                           -> ``rollback_to_snapshot``.
+    - ``compact``                            -> ``rewrite_data_files``
+      (+ ``expire_snapshots``).
+    - ``vacuum``                             -> ``remove_orphan_files``.
+    - ``commit_files`` / ``live_commits`` / ``replace_commit_files`` ->
+      the physical-maintenance extension surface (purge vacuum):
+      FileScanTask file listings per snapshot and a RewriteFiles commit.
+
+    Keep new engine code on this surface; anything not expressible here
+    belongs in the backend class, not the engine.
+    """
+
+    root: str
+    schema: StructType
+    key: str | None
+
+    def commits(self) -> list[int]: ...
+    def last_commit(self) -> int: ...
+    def find_commit(self, **meta_match) -> int | None: ...
+    def commit_meta(self, cid: int) -> dict: ...
+    def commit_files(self, cid: int) -> list[str]: ...
+    def live_commits(self) -> list[tuple[int, list[str], dict]]: ...
+    def replace_commit_files(
+        self, cid: int, files: list[str], meta_update: dict | None = None
+    ) -> None: ...
+    def append(
+        self, df: DataFrame, meta: dict | None = None, _tombstone: bool = False
+    ) -> int: ...
+    def append_rows(self, rows: list[tuple], meta: dict | None = None) -> int: ...
+    def adopt(self, src_dir: str, meta: dict | None = None) -> int: ...
+    def delete_keys(self, keys_df: DataFrame, meta: dict | None = None) -> int: ...
+    def rollback(self, commit_id: int) -> None: ...
+    def vacuum(self) -> None: ...
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame: ...
+    def read_since(self, spark: SparkSession, after_cid: int) -> DataFrame: ...
+    def latest_state(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame: ...
+    def compact(
+        self,
+        spark: SparkSession,
+        meta: dict | None = None,
+        buckets: int | None = None,
+    ) -> int: ...
 
 
 class DeltaTable:
@@ -75,6 +155,39 @@ class DeltaTable:
     def _read_manifest(self, cid: int) -> dict:
         with open(os.path.join(self._manifest_dir(), f"{cid:08d}.json")) as f:
             return json.load(f)
+
+    def commit_meta(self, cid: int) -> dict:
+        """Caller-supplied metadata stamped on a commit (Iceberg:
+        snapshot summary properties)."""
+        return self._read_manifest(cid).get("meta", {})
+
+    def commit_files(self, cid: int) -> list[str]:
+        """Data directories owned by a commit (Iceberg: the snapshot's
+        file listing via FileScanTasks)."""
+        return list(self._read_manifest(cid).get("files", []))
+
+    def live_commits(self) -> list[tuple[int, list[str], dict]]:
+        """(cid, data dirs, meta) for every live non-tombstone commit —
+        the physical-maintenance view (purge vacuum walks it to find
+        which commit owns a file)."""
+        return [
+            (cid, list(m.get("files", [])), m.get("meta", {}))
+            for cid, m in self._live_manifests(None)
+            if not m.get("tombstone")
+        ]
+
+    def replace_commit_files(
+        self, cid: int, files: list[str], meta_update: dict | None = None
+    ) -> None:
+        """Atomically repoint a commit at a new set of data dirs
+        (Iceberg: a RewriteFiles commit). Existing meta is kept and
+        ``meta_update`` merged over it; the old dirs become unreferenced
+        and a ``vacuum()`` reclaims their bytes."""
+        m = self._read_manifest(cid)
+        m["files"] = list(files)
+        if meta_update:
+            m["meta"] = {**m.get("meta", {}), **meta_update}
+        self._write_manifest(cid, m)
 
     def find_commit(self, **meta_match) -> int | None:
         """Latest commit whose meta contains all given key/value pairs —

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from .catalog import Catalog, DeltaTable
+from .catalog import Catalog, TableBackend
 from .functions.urls import canonicalize_series, resolve_series
 from .operators.fetch import make_synthetic_fetch_fn
 from .operators.ranking import budget_rank, dense_seq, topk_per_group
@@ -156,15 +156,15 @@ class CrawlEngine:
         self.lease_timeout_s = lease_timeout_s
         self.seed = seed
         cat = Catalog(warehouse)
-        self.frontier: DeltaTable = cat.table("frontier", FRONTIER_SCHEMA, key="enqueue_seq")
-        self.images: DeltaTable = cat.table("images", IMAGES_SCHEMA)
-        self.metrics: DeltaTable = cat.table("metrics", METRICS_SCHEMA)
-        self.lineage: DeltaTable = cat.table("lineage", LINEAGE_SCHEMA)
+        self.frontier: TableBackend = cat.table("frontier", FRONTIER_SCHEMA, key="enqueue_seq")
+        self.images: TableBackend = cat.table("images", IMAGES_SCHEMA)
+        self.metrics: TableBackend = cat.table("metrics", METRICS_SCHEMA)
+        self.lineage: TableBackend = cat.table("lineage", LINEAGE_SCHEMA)
         # live robots cache (enable_auto_robots): fetched rows persist
         # here so a restarted crawl never re-fetches a host's robots.txt
-        self.robots_table: DeltaTable = cat.table("robots", ROBOTS_SCHEMA)
+        self.robots_table: TableBackend = cat.table("robots", ROBOTS_SCHEMA)
         # keyed purges over the append-only images log (purge_images)
-        self.purges: DeltaTable = cat.table("purges", PURGES_SCHEMA)
+        self.purges: TableBackend = cat.table("purges", PURGES_SCHEMA)
         self.web_pages: DataFrame | None = None
         self.robots_df: DataFrame | None = None
         self._auto_robots: dict | None = None  # enable_auto_robots kwargs
@@ -253,11 +253,22 @@ class CrawlEngine:
 
     def set_robots(self, rows_or_df) -> None:
         """Install the per-host robots cache (enforced in scale mode as a
-        broadcast join at schedule time; see operators/robots.py)."""
+        broadcast join at schedule time; see operators/robots.py).
+        3-tuple rows / 3-column DataFrames (pre-Allow callers) are
+        normalized to the 4-column ROBOTS_SCHEMA with null
+        allow_prefixes."""
         if isinstance(rows_or_df, DataFrame):
+            if "allow_prefixes" not in rows_or_df.columns:
+                rows_or_df = rows_or_df.withColumn(
+                    "allow_prefixes", F.lit(None).cast("array<string>")
+                )
             self.robots_df = rows_or_df
         else:
-            self.robots_df = self.spark.createDataFrame(rows_or_df, ROBOTS_SCHEMA)
+            rows = [
+                tuple(r) + (None,) * (len(ROBOTS_SCHEMA) - len(r))
+                for r in rows_or_df
+            ]
+            self.robots_df = self.spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
     def enable_auto_robots(self, **fetch_kwargs) -> None:
         """Live robots.txt caching (scale mode): at the start of each
@@ -594,17 +605,15 @@ class CrawlEngine:
         import secrets
 
         # manifest bookkeeping: which live commits own a touched dir
-        touched: list[tuple[int, dict, set[str]]] = []
-        for cid, m in self.images._live_manifests(None):
-            if m.get("tombstone"):
-                continue
+        touched: list[tuple[int, list[str], set[str]]] = []
+        for cid, files, _meta in self.images.live_commits():
             tdirs = {
                 d
-                for d in m["files"]
+                for d in files
                 if any(f.startswith(d + os.sep) for f in dead_files)
             }
             if tdirs:
-                touched.append((cid, m, tdirs))
+                touched.append((cid, files, tdirs))
         all_dirs = sorted(d for _, _, ds in touched for d in ds)
         names = [os.path.basename(d) for d in all_dirs]
         # dir basenames are unique by construction (commit id + random
@@ -645,9 +654,9 @@ class CrawlEngine:
         # (manifest entries keep the same shape as any other commit dir;
         # a dir whose rows all died simply has no partition to re-home)
         n_rewritten = 0
-        for cid, m, tdirs in touched:
+        for cid, files, tdirs in touched:
             new_files = []
-            for d in m["files"]:
+            for d in files:
                 if d not in tdirs:
                     new_files.append(d)
                     continue
@@ -661,9 +670,8 @@ class CrawlEngine:
                     )
                     os.rename(part, newd)
                     new_files.append(newd)
-            self.images._write_manifest(
-                cid,
-                {"files": new_files, "meta": {**m.get("meta", {}), "purge_vacuumed": True}},
+            self.images.replace_commit_files(
+                cid, new_files, {"purge_vacuumed": True}
             )
         shutil.rmtree(stage, ignore_errors=True)  # leftovers: _SUCCESS
         self.images.vacuum()  # old dirs are now unreferenced: delete bytes
@@ -1066,7 +1074,7 @@ class CrawlEngine:
             img_commit = self.images.adopt(
                 p_dir, meta={"op": "merge", "round": round_no}
             )
-            adopted_dir = self.images._read_manifest(img_commit)["files"][0]
+            adopted_dir = self.images.commit_files(img_commit)[0]
         # filter maintenance: the round's stored keys enter the
         # persistent filter via its DISTRIBUTED insert path (bloom: one
         # partial bitmap per task, OR-merged; cuckoo: one task per shard
@@ -1294,10 +1302,10 @@ class CrawlEngine:
         # purge between rounds owns its own commit, so commit index !=
         # round; legacy lineage commits without meta fall back to the
         # one-commit-per-round index rule)
-        def _keep_by_round(table: DeltaTable, legacy_index: bool) -> int:
+        def _keep_by_round(table: TableBackend, legacy_index: bool) -> int:
             keep = 0
             for cid in table.commits():
-                r = table._read_manifest(cid).get("meta", {}).get("round")
+                r = table.commit_meta(cid).get("round")
                 if r is not None:
                     ok = r <= round_no
                 elif legacy_index:

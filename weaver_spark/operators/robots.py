@@ -13,8 +13,10 @@ scheduler input, so this module implements it Spark-first:
   threshold, so enforcement is a **broadcast join** against the pending
   set: no shuffle of the frontier, pure map-side filtering
   (SURVEY.md §2.3 J-row).
-- **disallow** is a JVM-side ``exists(prefixes, p -> startswith(path, p))``
-  over the parsed URL path — whole-stage-codegen, no Python.
+- **disallow/allow** use the de-facto Google semantics: the longest
+  matching prefix wins, ties go to Allow. Evaluated JVM-side as
+  ``array_max(transform(filter(prefixes, p -> startswith(path, p)),
+  length))`` per rule list — whole-stage-codegen, no Python.
 - **crawl-delay** becomes a per-round per-host fetch cap: a round is one
   scheduler tick of ``round_time_budget_ms`` (default 1000 ms — the
   reference's 1 s poll tick, ``src/scrapper/main.go:64``), so a host with
@@ -67,38 +69,66 @@ def apply_robots(
     ``allowed`` carries ``_delay_cap`` (int, null = no cap) for the
     scheduler window and ``_delay_ms`` (raw crawl_delay_ms, null = none)
     for in-round request spacing in the fetch stage; ``blocked`` rows
-    matched a disallow prefix and must never be fetched. The robots side
-    is broadcast — the frontier is filtered map-side with zero shuffle.
+    matched a disallow prefix (not overridden by a longer-or-equal Allow
+    match — Google longest-match precedence, ties to Allow) and must
+    never be fetched. The robots side is broadcast — the frontier is
+    filtered map-side with zero shuffle. A robots table without an
+    ``allow_prefixes`` column (pre-upgrade cache rows, inline fixtures)
+    is treated as all-empty allow lists.
     """
+    allow_col = (
+        F.coalesce(F.col("allow_prefixes"), F.array().cast("array<string>"))
+        if "allow_prefixes" in robots.columns
+        else F.array().cast("array<string>")
+    )
     r = F.broadcast(
         robots.select(
             F.col("host").alias("_r_host"),
             "disallow_prefixes",
+            allow_col.alias("_allow_prefixes"),
             delay_cap_expr(round_time_budget_ms).alias(DELAY_CAP_COL),
             F.col("crawl_delay_ms").alias(DELAY_MS_COL),
         )
     )
     joined = pending.join(r, pending["host"] == r["_r_host"], "left").drop("_r_host")
     path = F.parse_url(F.col("url"), F.lit("PATH"))
+
+    def longest_match(col):
+        # length of the longest rule prefix matching the path (0 = none)
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(col, lambda p: path.startswith(p)), F.length
+                )
+            ),
+            F.lit(0),
+        )
+
     disallowed = F.coalesce(
-        F.exists("disallow_prefixes", lambda p: path.startswith(p)), F.lit(False)
+        longest_match(F.col("disallow_prefixes"))
+        > longest_match(F.col("_allow_prefixes")),
+        F.lit(False),
     )
     blocked = joined.where(disallowed).drop(
-        "disallow_prefixes", DELAY_CAP_COL, DELAY_MS_COL
+        "disallow_prefixes", "_allow_prefixes", DELAY_CAP_COL, DELAY_MS_COL
     )
-    allowed = joined.where(~disallowed).drop("disallow_prefixes")
+    allowed = joined.where(~disallowed).drop("disallow_prefixes", "_allow_prefixes")
     return allowed, blocked
 
 
-def parse_robots_txt(text: str) -> tuple[list[str], int]:
-    """Parse a robots.txt body into (disallow_prefixes, crawl_delay_ms)
-    for the wildcard agent. Standard group semantics: consecutive
-    User-agent lines open a group; rules apply to the groups whose agent
-    matched ``*``; agent-specific groups are ignored (the crawler
-    identifies as a generic bot). Crawl-delay is seconds (possibly
+def parse_robots_txt(text: str) -> tuple[list[str], int, list[str]]:
+    """Parse a robots.txt body into (disallow_prefixes, crawl_delay_ms,
+    allow_prefixes) for the wildcard agent. Standard group semantics:
+    consecutive User-agent lines open a group; rules apply to the groups
+    whose agent matched ``*``; agent-specific groups are ignored (the
+    crawler identifies as a generic bot). Allow lines are collected
+    separately — precedence against Disallow is longest-match-wins (ties
+    to Allow), resolved at enforcement time (apply_robots / the sim
+    mirror), not at parse time. Crawl-delay is seconds (possibly
     fractional) -> ms. Unparseable lines are skipped — robots.txt in the
     wild is messy and a parse error must never block a crawl."""
     prefixes: list[str] = []
+    allow: list[str] = []
     delay_ms = 0
     active = False  # current group includes User-agent: *
     in_agent_run = False  # consecutive user-agent lines open one group
@@ -120,18 +150,20 @@ def parse_robots_txt(text: str) -> tuple[list[str], int]:
                 continue
             if key == "disallow" and val:
                 prefixes.append(val)
+            elif key == "allow" and val:
+                allow.append(val)
             elif key == "crawl-delay":
                 try:
                     delay_ms = int(float(val) * 1000)
                 except ValueError:
                     pass
-    return prefixes, delay_ms
+    return prefixes, delay_ms, allow
 
 
 def _fetch_one_robots(host: str, base: str, timeout_s: float, opener) -> tuple:
-    """(host, disallow_prefixes, crawl_delay_ms) for one authority. One
-    shot: an unreachable or 4xx robots.txt means no restrictions (the
-    de-facto standard), never a blocked crawl."""
+    """(host, disallow_prefixes, crawl_delay_ms, allow_prefixes) for one
+    authority. One shot: an unreachable or 4xx robots.txt means no
+    restrictions (the de-facto standard), never a blocked crawl."""
     import urllib.request
 
     _open = opener or (
@@ -140,12 +172,12 @@ def _fetch_one_robots(host: str, base: str, timeout_s: float, opener) -> tuple:
     try:
         with _open(f"{base}/robots.txt", timeout_s) as r:
             if r.status != 200:
-                return (host, [], 0)
+                return (host, [], 0, [])
             body = r.read().decode("utf-8", "replace")
     except Exception:
-        return (host, [], 0)
-    prefixes, delay_ms = parse_robots_txt(body)
-    return (host, prefixes, delay_ms)
+        return (host, [], 0, [])
+    prefixes, delay_ms, allow = parse_robots_txt(body)
+    return (host, prefixes, delay_ms, allow)
 
 
 def fetch_robots_rows(
@@ -156,7 +188,8 @@ def fetch_robots_rows(
     opener=None,
 ) -> list[tuple]:
     """Fetch + parse ``/robots.txt`` per site into ROBOTS_SCHEMA rows
-    (host, disallow_prefixes, crawl_delay_ms) — the cache-fill side of
+    (host, disallow_prefixes, crawl_delay_ms, allow_prefixes) — the
+    cache-fill side of
     the robots table. ``sites`` items are either bare hosts or
     (host, base_url) pairs: the frontier's politeness key is the bare
     host, but the fetch needs the full authority (scheme + host:port) —
@@ -210,6 +243,7 @@ def fetch_robots_df(
                         "host": [r[0] for r in rows],
                         "disallow_prefixes": [r[1] for r in rows],
                         "crawl_delay_ms": [r[2] for r in rows],
+                        "allow_prefixes": [r[3] for r in rows],
                     }
                 )
 
@@ -222,12 +256,31 @@ def fetch_robots_df(
 
 def sim_robots_config(rows: list[tuple], round_time_budget_ms: int = 1000) -> dict:
     """The simulator-side mirror of apply_robots/delay_cap_expr: ROBOTS
-    rows (host, disallow_prefixes, crawl_delay_ms) -> host config dict.
-    One derivation rule, two engines (parity-tested)."""
+    rows (host, disallow_prefixes, crawl_delay_ms[, allow_prefixes]) ->
+    host config dict. One derivation rule, two engines (parity-tested).
+    3-tuples (pre-Allow fixtures) read as empty allow lists."""
     cfg: dict[str, dict] = {}
-    for host, prefixes, delay_ms in rows:
+    for row in rows:
+        host, prefixes, delay_ms = row[0], row[1], row[2]
+        allow = row[3] if len(row) > 3 else None
         cap = None
         if delay_ms and delay_ms > 0:
             cap = max(1, round_time_budget_ms // delay_ms)
-        cfg[host] = {"disallow": list(prefixes or []), "delay_cap": cap}
+        cfg[host] = {
+            "disallow": list(prefixes or []),
+            "allow": list(allow or []),
+            "delay_cap": cap,
+        }
     return cfg
+
+
+def sim_is_disallowed(path: str, cfg: dict | None) -> bool:
+    """Pure-Python mirror of apply_robots's blocked predicate for one
+    path under one host's config: longest matching prefix wins, ties go
+    to Allow (Google semantics). Shared by sim.py and tests so the rule
+    has exactly one non-Spark statement."""
+    if not cfg:
+        return False
+    dis = max((len(p) for p in cfg.get("disallow", []) if path.startswith(p)), default=0)
+    alw = max((len(p) for p in cfg.get("allow", []) if path.startswith(p)), default=0)
+    return dis > alw

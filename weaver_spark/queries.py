@@ -311,9 +311,11 @@ SELECT host, enqueue_seq, priority, rk FROM (
 
 def robots_disallow_filter(spark: SparkSession, sf: str) -> DataFrame:
     """North-rule robots cache enforcement (operators/robots.apply_robots
-    shape): a broadcast-joined per-host disallow-prefix table filters the
-    frontier map-side — no frontier shuffle. Frontier synthesized from
-    events (host from user_id, path from event_type)."""
+    shape): a broadcast-joined per-host disallow/allow-prefix table
+    filters the frontier map-side — no frontier shuffle; precedence is
+    longest matching prefix wins, ties to Allow (the de-facto Google
+    semantics). Frontier synthesized from events (host from user_id,
+    path from event_type)."""
     e = _t(spark, sf, "events")
     fr = e.select(
         F.col("event_id").alias("enqueue_seq"),
@@ -326,15 +328,26 @@ def robots_disallow_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
     robots = spark.createDataFrame(
         [
-            ("h0.test", ["/click/", "/view/"]),
-            ("h3.test", ["/purchase/"]),
-            ("h5.test", ["/"]),
+            ("h0.test", ["/click/", "/view/"], ["/view/"]),
+            ("h3.test", ["/purchase/"], []),
+            ("h5.test", ["/"], ["/click/"]),
         ],
-        "host string, disallow_prefixes array<string>",
+        "host string, disallow_prefixes array<string>, allow_prefixes array<string>",
     )
     joined = fr.join(F.broadcast(robots), "host", "left")
+
+    def longest(col):
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(col, lambda p: F.col("path").startswith(p)), F.length
+                )
+            ),
+            F.lit(0),
+        )
+
     disallowed = F.coalesce(
-        F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+        longest(F.col("disallow_prefixes")) > longest(F.col("allow_prefixes")),
         F.lit(False),
     )
     return joined.where(~disallowed).select("host", "enqueue_seq", "path")
@@ -348,13 +361,17 @@ WITH fr AS (
   FROM events),
 robots AS (
   SELECT * FROM (VALUES
-    ('h0.test', ['/click/', '/view/']),
-    ('h3.test', ['/purchase/']),
-    ('h5.test', ['/'])) AS t(host, disallow_prefixes))
+    ('h0.test', ['/click/', '/view/'], ['/view/']),
+    ('h3.test', ['/purchase/'], CAST([] AS VARCHAR[])),
+    ('h5.test', ['/'], ['/click/'])) AS t(host, disallow_prefixes, allow_prefixes))
 SELECT fr.host, enqueue_seq, path
 FROM fr LEFT JOIN robots ON fr.host = robots.host
 WHERE NOT COALESCE(
-  len(list_filter(disallow_prefixes, p -> starts_with(path, p))) > 0, FALSE)
+  COALESCE(list_max(list_transform(
+    list_filter(disallow_prefixes, p -> starts_with(path, p)), p -> len(p))), 0)
+  > COALESCE(list_max(list_transform(
+    list_filter(allow_prefixes, p -> starts_with(path, p)), p -> len(p))), 0),
+  FALSE)
 """
 
 

@@ -99,6 +99,10 @@ ROBOTS_SCHEMA = StructType(
         StructField("host", StringType(), False),
         StructField("disallow_prefixes", ArrayType(StringType()), False),
         StructField("crawl_delay_ms", IntegerType(), False),
+        # Allow: prefixes (longest-match wins over Disallow — the
+        # de-facto Google semantics). Nullable: rows persisted before
+        # this column existed read as null = no allow overrides.
+        StructField("allow_prefixes", ArrayType(StringType()), True),
     ]
 )
 

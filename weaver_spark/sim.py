@@ -35,6 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .functions.urls import canonicalize_url
+from .operators.robots import sim_is_disallowed
 from .webgen import SyntheticWeb, gen_payload
 
 
@@ -60,10 +61,12 @@ def simulate_crawl(
 ) -> SimResult:
     """Run the reference-semantics crawl to frontier exhaustion.
 
-    ``robots`` (operators/robots.sim_robots_config shape:
-    host -> {"disallow": [path prefixes], "delay_cap": int|None}) mirrors
-    the engine's broadcast robots enforcement: disallowed URLs leave the
-    frontier un-fetched; delay_cap bounds per-host fetches per wave and
+    ``robots`` (operators/robots.sim_robots_config shape: host ->
+    {"disallow": [path prefixes], "allow": [path prefixes],
+    "delay_cap": int|None}) mirrors the engine's broadcast robots
+    enforcement: disallowed URLs (longest-match vs Allow, ties to Allow)
+    leave the frontier un-fetched; delay_cap bounds per-host fetches per
+    wave and
     composes with host_budget via min. Budget selection follows the
     engine's scheduler order (priority DESC, enqueue_seq) where a URL's
     priority is 1 for root pages, else 0; fetch/enqueue order within a
@@ -102,7 +105,7 @@ def simulate_crawl(
                 path = "/" + (url.split("://", 1)[1].split("/", 1) + [""])[1]
                 path = path.split("?", 1)[0]
                 cfg = robots.get(host)
-                if cfg and any(path.startswith(p) for p in cfg["disallow"]):
+                if sim_is_disallowed(path, cfg):
                     res.blocked.add(url)
                     res.statuses.append((seq, url, "blocked"))
                 else:

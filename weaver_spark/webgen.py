@@ -125,16 +125,25 @@ def make_robots(
     disallow_hosts: tuple[int, ...] = (1, 3),
     slow_host: int = 0,
     crawl_delay_ms: int = 2500,
+    allow_spec: dict[int, list[str]] | None = None,
 ) -> list[tuple]:
     """Per-host robots fixture rows (ROBOTS_SCHEMA; FIXTURES.md §4):
     a few hosts disallow /item/ (their leaves are never fetched), the
     mega-host gets a large crawl_delay (politeness cap 1/round at the
-    default 1 s scheduler tick), the rest are unrestricted."""
+    default 1 s scheduler tick), the rest are unrestricted. Default rows
+    are 3-tuples (no Allow — byte-stable with pre-Allow fixtures);
+    ``allow_spec`` (host index -> Allow prefixes) emits 4-tuples for the
+    named hosts to exercise longest-match precedence (e.g. disallow
+    ``/item/`` but allow ``/item/1`` re-opens leaves item/1, item/1x,
+    ...)."""
     rows = []
     for k in range(n_hosts):
         prefixes = ["/item/"] if k in disallow_hosts else []
         delay = crawl_delay_ms if k == slow_host else 0
-        rows.append((f"h{k}.test", prefixes, delay))
+        if allow_spec and k in allow_spec:
+            rows.append((f"h{k}.test", prefixes, delay, list(allow_spec[k])))
+        else:
+            rows.append((f"h{k}.test", prefixes, delay))
     return rows
 
 
