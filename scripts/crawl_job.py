@@ -62,6 +62,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-concurrency", type=int, default=16,
                    help="HTTP sockets per python worker")
     p.add_argument("--track-leases", action="store_true")
+    p.add_argument("--retry-failed", type=int, default=0,
+                   help="bounded re-enqueue of transient failures (5xx/"
+                        "597-599): N extra attempts per URL; 0 = terminal"
+                        " failed (reference at-most-once semantics)")
     p.add_argument("--compact-every", type=int, default=8)
     p.add_argument("--compact-buckets", type=int, default=None,
                    help="bucketed base layout: re-compactions rewrite only"
@@ -99,6 +103,7 @@ def main(argv: list[str] | None = None) -> None:
         host_budget=args.host_budget,
         seen_filter=args.seen_filter,
         track_leases=args.track_leases,
+        retry_failed=args.retry_failed,
         compact_every=args.compact_every,
         compact_buckets=args.compact_buckets,
     )

@@ -49,7 +49,10 @@ def test_legacy_warehouse_without_depth_column(spark, tmp_path):
     from weaver_spark.catalog import Catalog
     from weaver_spark.schemas import FRONTIER_SCHEMA
 
-    legacy = StructType([f for f in FRONTIER_SCHEMA.fields if f.name != "depth"])
+    # a legacy warehouse predates BOTH migration-shimmed columns
+    legacy = StructType(
+        [f for f in FRONTIER_SCHEMA.fields if f.name not in ("depth", "attempt")]
+    )
     wh = str(tmp_path / "wh")
     t = Catalog(wh).table("frontier", legacy, key="enqueue_seq")
     rows = [

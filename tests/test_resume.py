@@ -63,8 +63,8 @@ def test_lease_reclaim(spark, tmp_path_factory):
     cat = Catalog(wh)
     t = cat.table("frontier", FRONTIER_SCHEMA, key="enqueue_seq")
     rows = [
-        ("http://h0.test/a", 1, "h0.test", "leaf", 0, 0, "leased", 0, None, 0, 1),
-        ("http://h0.test/b", 2, "h0.test", "leaf", 0, 0, "pending", 1, None, 0, 1),
+        ("http://h0.test/a", 1, "h0.test", "leaf", 0, 0, "leased", 0, None, 0, 0, 1),
+        ("http://h0.test/b", 2, "h0.test", "leaf", 0, 0, "pending", 1, None, 0, 0, 1),
     ]
     df = spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
         "lease_ts",

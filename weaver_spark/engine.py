@@ -127,9 +127,22 @@ class CrawlEngine:
         compact_every: int | None = None,
         compact_buckets: int | None = None,
         priority_mode: str = "kind",
+        retry_failed: int = 0,
+        retry_min_status: int = 500,
     ):
         assert mode in ("reproduction", "scale")
         assert priority_mode in ("kind", "depth")
+        # retry_failed=N: opt-in bounded re-enqueue of transient fetch
+        # failures (status_code >= retry_min_status; default 5xx — the
+        # http fetcher's connect-failed/too-large sentinels 597-599
+        # included). Default 0 keeps the reference's at-most-once ack:
+        # `failed` is terminal (src/scrapper/queueService.go:91-94 acks
+        # on pop; a failed visit is never re-queued). A retry is a NEW
+        # enqueue event — fresh seq, attempt+1 — so history keeps every
+        # attempt and FIFO/parity semantics are unchanged per attempt.
+        assert retry_failed >= 0
+        self.retry_failed = retry_failed
+        self.retry_min_status = retry_min_status
         self.priority_mode = priority_mode
         self.spark = spark
         self.mode = mode
@@ -420,6 +433,7 @@ class CrawlEngine:
             "enqueue_seq",
             F.lit(None).cast("timestamp").alias("lease_ts"),
             F.lit(0).alias("round"),
+            F.lit(0).alias("attempt"),
             F.lit(ucid).cast("long").alias("update_seq"),
         )
         return self.frontier.append(seeded, meta={"op": "seed", "n": len(urls)})
@@ -429,8 +443,10 @@ class CrawlEngine:
         before the ``depth`` column existed reads depth as null — backfill
         0 so depth arithmetic, depth-mode priority and the non-null
         schema stay sound on resumed legacy crawls."""
-        return self.frontier.latest_state(self.spark).withColumn(
-            "depth", F.coalesce(F.col("depth"), F.lit(0))
+        return (
+            self.frontier.latest_state(self.spark)
+            .withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)))
+            .withColumn("attempt", F.coalesce(F.col("attempt"), F.lit(0)))
         )
 
     # -- lease machinery (reference src/queue/main.go:47-87) --------------
@@ -1132,31 +1148,72 @@ class CrawlEngine:
             met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
 
         mark("metrics_append")
+        # ---- retries: transient failures re-enter the frontier ----------
+        # (retry_failed) A retryable row becomes a NEW enqueue event at
+        # link_pos -1 under its own seq — dense_seq then interleaves it
+        # with this round's links exactly where the simulator's put loop
+        # emits it (a failed page yields no links, so -1 never collides).
+        # The failed row itself stays terminally 'failed' below: per-
+        # attempt at-most-once ack parity, every attempt in history.
+        n_retries = 0
+        retry_rows = None
+        if self.retry_failed and agg["failed"]:
+            retry_rows = (
+                batch.join(
+                    results.where(
+                        F.col("status_code") >= self.retry_min_status
+                    ).select("enqueue_seq"),
+                    "enqueue_seq",
+                )
+                .where(F.coalesce(F.col("attempt"), F.lit(0)) < self.retry_failed)
+                .select(
+                    F.col("enqueue_seq").alias("parent_seq"),
+                    F.lit(-1).alias("link_pos"),
+                    "url",
+                    F.col("url_type").alias("kind"),
+                    "depth",
+                    (F.coalesce(F.col("attempt"), F.lit(0)) + 1).alias("attempt"),
+                )
+                .persist()
+            )
+            # one tiny keys-only count, only on rounds that saw failures
+            n_retries = retry_rows.count()
+            if not n_retries:
+                retry_rows.unpersist()
+                retry_rows = None
+
         # ---- discovered links -> new frontier rows (FIFO seq assignment)
         new_rows = None
         seq_pin = None
-        if agg["n_links"]:
-            links = results.where(F.size("links") > 0).select(
-                F.col("enqueue_seq").alias("parent_seq"),
-                F.col("url").alias("parent_url"),
-                (F.col("depth") + 1).alias("depth"),  # stage pass-through:
-                # no parent join needed for link depth
-                F.posexplode("links").alias("link_pos", "raw_url"),
-            )
-            if pages is not None:
-                # synthetic webs emit absolute spellings
-                links = links.withColumn("url", _canonicalize_udf(F.col("raw_url")))
-                typed = links.join(pages.select("url", "kind"), "url", "left")
-            else:
-                # http mode: hrefs may be relative — resolve vs parent;
-                # discovered links are typed by the URL classifier rules
-                # (set_url_classifier), default leaf — the reference root
-                # handlers enqueue product-typed links
-                links = links.withColumn(
-                    "url",
-                    _resolve_canonicalize_udf(F.col("parent_url"), F.col("raw_url")),
+        if agg["n_links"] or n_retries:
+            typed = None
+            if agg["n_links"]:
+                links = results.where(F.size("links") > 0).select(
+                    F.col("enqueue_seq").alias("parent_seq"),
+                    F.col("url").alias("parent_url"),
+                    (F.col("depth") + 1).alias("depth"),  # stage pass-through:
+                    # no parent join needed for link depth
+                    F.posexplode("links").alias("link_pos", "raw_url"),
                 )
-                typed = links.withColumn("kind", self._classify_expr(F.col("url")))
+                if pages is not None:
+                    # synthetic webs emit absolute spellings
+                    links = links.withColumn("url", _canonicalize_udf(F.col("raw_url")))
+                    typed = links.join(pages.select("url", "kind"), "url", "left")
+                else:
+                    # http mode: hrefs may be relative — resolve vs parent;
+                    # discovered links are typed by the URL classifier rules
+                    # (set_url_classifier), default leaf — the reference root
+                    # handlers enqueue product-typed links
+                    links = links.withColumn(
+                        "url",
+                        _resolve_canonicalize_udf(F.col("parent_url"), F.col("raw_url")),
+                    )
+                    typed = links.withColumn("kind", self._classify_expr(F.col("url")))
+                typed = typed.select(
+                    "parent_seq", "link_pos", "url", "kind", "depth"
+                ).withColumn("attempt", F.lit(0))
+            if retry_rows is not None:
+                typed = retry_rows if typed is None else typed.unionByName(retry_rows)
             with_seq, seq_pin = dense_seq(
                 typed, ["parent_seq", "link_pos"], start=max_seq + 1
             )
@@ -1175,6 +1232,7 @@ class CrawlEngine:
                 "enqueue_seq",
                 F.lit(None).cast("timestamp").alias("lease_ts"),
                 F.lit(round_no).alias("round"),
+                "attempt",
                 F.lit(0).cast("long").alias("update_seq"),  # stamped below
             )
 
@@ -1207,14 +1265,17 @@ class CrawlEngine:
         )
         if seq_pin is not None:
             seq_pin.unpersist()
+        if retry_rows is not None:
+            retry_rows.unpersist()
         # carry the next round's head scalars: every batch row left the
         # pending set (done/failed), blocked rows left it terminally, and
-        # each discovered link entered it with a fresh sequence number
+        # each discovered link / retry re-enqueue entered it with a fresh
+        # sequence number
         n_links = agg["n_links"] or 0
         self._carry = (
             fr_commit,
-            n_pending - n_blocked - agg["fetched"] + n_links,
-            max_seq + n_links,
+            n_pending - n_blocked - agg["fetched"] + n_links + n_retries,
+            max_seq + n_links + n_retries,
         )
 
         mark("frontier_append")
@@ -1245,6 +1306,7 @@ class CrawlEngine:
             "payload_rows": agg["payload_rows"] or 0,
             "failed": agg["failed"] or 0,
             "links": agg["n_links"] or 0,
+            "retried": n_retries,
         }
         batch.unpersist()
         state.unpersist()

@@ -63,6 +63,11 @@ FRONTIER_SCHEMA = StructType(
         StructField("enqueue_seq", LongType(), False),  # deterministic FIFO order
         StructField("lease_ts", TimestampType(), True),
         StructField("round", IntegerType(), False),  # round that wrote this row
+        # fetch-attempt ordinal for this URL (retry_failed): a retried
+        # transient failure re-enters the frontier as a NEW enqueue event
+        # carrying attempt+1 — every attempt stays visible in history.
+        # Nullable: rows persisted before this column existed read null = 0.
+        StructField("attempt", IntegerType(), True),
         # delta-log bookkeeping: a status update re-appends the row with a
         # higher update_seq; current state = max(update_seq) per enqueue_seq.
         StructField("update_seq", LongType(), False),

@@ -58,6 +58,7 @@ def simulate_crawl(
     robots: dict | None = None,
     max_rounds: int = 10_000,
     priority_mode: str = "kind",
+    retry_failed: int = 0,
 ) -> SimResult:
     """Run the reference-semantics crawl to frontier exhaustion.
 
@@ -71,15 +72,22 @@ def simulate_crawl(
     engine's scheduler order (priority DESC, enqueue_seq) where a URL's
     priority is 1 for root pages, else 0; fetch/enqueue order within a
     wave stays enqueue_seq (the engine enqueues children by parent seq).
+
+    ``retry_failed=N`` mirrors the engine flag: a failed fetch (missing
+    page — the sim's one transient failure) is re-enqueued as a NEW
+    event with attempt+1, at the failure's position in the put loop
+    (exactly where a root's links would land), until N retries are
+    spent. The failed attempt's status row stays 'failed'.
     """
     res = SimResult()
     next_seq = 0
-    wave: list[tuple[int, str, int]] = []  # (enqueue_seq, canonical url, depth)
+    # (enqueue_seq, canonical url, depth, attempt)
+    wave: list[tuple[int, str, int, int]] = []
 
-    def put(url: str, into: list, depth: int) -> None:
+    def put(url: str, into: list, depth: int, attempt: int = 0) -> None:
         nonlocal next_seq
         cu = canonicalize_url(url)
-        into.append((next_seq, cu, depth))
+        into.append((next_seq, cu, depth, attempt))
         res.enqueue_log.append(cu)
         next_seq += 1
 
@@ -99,7 +107,7 @@ def simulate_crawl(
         wave.sort(key=lambda t: t[0])  # FIFO within the wave
         if robots:
             kept = []
-            for seq, url, depth in wave:
+            for seq, url, depth, att in wave:
                 host = url.split("://", 1)[1].split("/", 1)[0]
                 # parse_url(url,'PATH') parity: path only, no query string
                 path = "/" + (url.split("://", 1)[1].split("/", 1) + [""])[1]
@@ -109,13 +117,13 @@ def simulate_crawl(
                     res.blocked.add(url)
                     res.statuses.append((seq, url, "blocked"))
                 else:
-                    kept.append((seq, url, depth))
+                    kept.append((seq, url, depth, att))
             wave = kept
         spend: dict[str, int] = {}
-        process: list[tuple[int, str, int]] = []
-        defer: list[tuple[int, str, int]] = []
+        process: list[tuple[int, str, int, int]] = []
+        defer: list[tuple[int, str, int, int]] = []
         # selection in scheduler order: (priority DESC, enqueue_seq)
-        for seq, url, depth in sorted(
+        for seq, url, depth, att in sorted(
             wave, key=lambda t: (-prio(t[1], t[2]), t[0])
         ):
             host = url.split("://", 1)[1].split("/", 1)[0]
@@ -124,20 +132,22 @@ def simulate_crawl(
                 dcap = robots[host]["delay_cap"]
                 cap = dcap if cap is None else min(cap, dcap)
             if cap is not None and spend.get(host, 0) >= cap:
-                defer.append((seq, url, depth))  # keeps its enqueue_seq
+                defer.append((seq, url, depth, att))  # keeps its enqueue_seq
             else:
                 spend[host] = spend.get(host, 0) + 1
-                process.append((seq, url, depth))
+                process.append((seq, url, depth, att))
         process.sort(key=lambda t: t[0])  # fetch/enqueue in FIFO seq order
         defer.sort(key=lambda t: t[0])
-        next_wave: list[tuple[int, str, int]] = []
+        next_wave: list[tuple[int, str, int, int]] = []
         round_urls: list[str] = []
-        for seq, url, depth in process:  # Pop + immediate Ack (at-most-once)
+        for seq, url, depth, att in process:  # Pop + immediate Ack (at-most-once)
             res.crawl_order.append(url)
             round_urls.append(url)
             page = web.pages.get(url)
             if page is None:
                 res.statuses.append((seq, url, "failed"))
+                if att < retry_failed:  # bounded re-enqueue, attempt+1
+                    put(url, next_wave, depth, att + 1)
                 continue
             kind = page["kind"]
             if kind == "root":

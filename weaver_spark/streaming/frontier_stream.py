@@ -81,6 +81,7 @@ def stream_enqueue(
             "enqueue_seq",
             F.lit(None).cast("timestamp").alias("lease_ts"),
             F.lit(engine.current_round()).alias("round"),
+            F.lit(0).alias("attempt"),
             F.lit(ucid).cast("long").alias("update_seq"),
         )
         engine.frontier.append(rows, meta={"op": "stream_enqueue", "batch": batch_id})
