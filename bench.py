@@ -185,6 +185,44 @@ def bench_crawl(spark, capture_marks: bool = False) -> dict:
     return out
 
 
+def bench_deep_crawl(spark) -> dict:
+    """Deep-web crawl throughput: a 4-level root tree (roots linking to
+    sub-roots) under depth-decay priority + host budget — multi-hop
+    discovery and the (priority, host) scheduler run in a TIMED context,
+    which the 2-round flat web never exercises. Parity vs the simulator
+    on this exact web shape is pinned by tests/test_deep_web.py."""
+    import shutil
+
+    from weaver_spark.engine import CrawlEngine
+    from weaver_spark.webgen import make_deep_web_df
+
+    # 6*3^d roots (240) x 300 leaves ≈ 72k payloads over 5 waves
+    seeds, web_df = make_deep_web_df(
+        spark, n_seed_roots=6, child_roots=3, depth=4, leaves_per_root=300
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="weaver_deepbench_", dir=base)
+    eng = CrawlEngine(
+        spark, wh, mode="scale", host_budget=4000, priority_mode="depth"
+    )
+    eng.set_web_df(web_df)
+    t0 = time.perf_counter()
+    eng.seed_urls(seeds)
+    stats = eng.run(max_rounds=50)
+    wall = time.perf_counter() - t0
+    fetched = sum(s["batch"] for s in stats)
+    eng.web_pages.unpersist()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "urls": fetched,
+        "rounds": len(stats),
+        "seconds": round(wall, 3),
+        "urls_per_sec": round(fetched / wall, 2),
+        "web": {"seed_roots": 6, "child_roots": 3, "depth": 4,
+                "leaves_per_root": 300},
+    }
+
+
 def run_single(crawl_only: bool) -> dict:
     spark = _spark()
     out: dict = {"sf": SF_DIR, "cpus": CPUS}
@@ -194,9 +232,15 @@ def run_single(crawl_only: bool) -> dict:
     out["crawl"] = crawl
     qtimes: dict[str, float] = {}
     if not crawl_only:
+        out["deep_crawl"] = bench_deep_crawl(spark)
         qtimes = bench_queries(spark)
     out["queries"] = qtimes
-    total = round(sum(qtimes.values()) + crawl["seconds"], 3)
+    total = round(
+        sum(qtimes.values())
+        + crawl["seconds"]
+        + out.get("deep_crawl", {}).get("seconds", 0.0),
+        3,
+    )
     out.update(
         {
             "metric": "urls_fetched_deduped_per_sec",

@@ -229,6 +229,154 @@ def make_web_df(
     return seeds, roots.unionByName(leaves)
 
 
+def _deep_level_offsets(n_seed_roots: int, child_roots: int, depth: int):
+    """Global root-id offset of each level: level d has S * C^d roots."""
+    offs, count = [], n_seed_roots
+    acc = 0
+    for _ in range(depth):
+        offs.append(acc)
+        acc += count
+        count *= child_roots
+    return offs, acc  # (per-level offsets, total roots)
+
+
+def make_deep_web_df(
+    spark,
+    n_seed_roots: int = 6,
+    child_roots: int = 3,
+    depth: int = 4,
+    leaves_per_root: int = 300,
+    n_hosts: int = 32,
+):
+    """Distributed DEEP synthetic web: a ``depth``-level root tree (every
+    root at level d < depth-1 links to ``child_roots`` sub-roots) where
+    each root also owns ``leaves_per_root`` leaves. Exercises multi-hop
+    discovery and the depth-decay priority source at bench scale — the
+    two-level make_web_df web drains in 2 rounds and never runs either.
+
+    Same JVM-side id-range generation as make_web_df (no driver loop, no
+    pixel bytes). Root (level d, local i, global g = off_d + i) links to
+    child roots off_{d+1} + i*C .. +C-1 and leaves g*L .. (g+1)*L-1.
+    ``make_deep_web`` is the driver-side mirror with identical URLs for
+    simulator-parity tests.
+
+    Returns (seed_urls, web_pages_df).
+    """
+    from pyspark.sql import functions as F
+
+    offs, total_roots = _deep_level_offsets(n_seed_roots, child_roots, depth)
+
+    def root_url(gid_col):
+        return F.format_string(
+            "http://h%d.test/cat/%d", gid_col % n_hosts, gid_col
+        )
+
+    def leaf_url(j):
+        # round-robin host assignment (j % H): same host diversity as a
+        # hash for ranged ids, and trivially mirrored by make_deep_web
+        return F.format_string(
+            "http://h%d.test/item/%d", F.pmod(j, F.lit(n_hosts)), j
+        )
+
+    level_dfs = []
+    count = n_seed_roots
+    for d in range(depth):
+        g = F.col("id") + F.lit(offs[d])
+        leaf_links = F.transform(
+            F.sequence(
+                g * leaves_per_root, (g + F.lit(1)) * leaves_per_root - 1
+            ),
+            leaf_url,
+        )
+        if d < depth - 1:
+            child_links = F.transform(
+                F.sequence(
+                    F.lit(offs[d + 1]) + F.col("id") * child_roots,
+                    F.lit(offs[d + 1]) + F.col("id") * child_roots + child_roots - 1,
+                ),
+                root_url,
+            )
+            links = F.concat(child_links, leaf_links)
+        else:
+            links = leaf_links
+        level_dfs.append(
+            spark.range(count).select(
+                root_url(g).alias("url"),
+                F.lit("root").alias("kind"),
+                links.alias("links"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("binary").alias("payload"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(None).cast("string").alias("caption"),
+            )
+        )
+        count *= child_roots
+    n_leaves = total_roots * leaves_per_root
+    leaves = spark.range(n_leaves).select(
+        leaf_url(F.col("id")).alias("url"),
+        F.lit("leaf").alias("kind"),
+        F.lit(None).cast("array<string>").alias("links"),
+        F.format_string("img_%08d", F.col("id")).alias("image_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.when(F.col("id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+        F.format_string("synthetic caption %d", F.col("id")).alias("caption"),
+    )
+    web_df = level_dfs[0]
+    for df in level_dfs[1:]:
+        web_df = web_df.unionByName(df)
+    seeds = [f"http://h{r % n_hosts}.test/cat/{r}" for r in range(n_seed_roots)]
+    return seeds, web_df.unionByName(leaves)
+
+
+def make_deep_web(
+    n_seed_roots: int = 2,
+    child_roots: int = 2,
+    depth: int = 4,
+    leaves_per_root: int = 3,
+    n_hosts: int = 4,
+    seed: int = 42,
+) -> SyntheticWeb:
+    """Driver-side mirror of make_deep_web_df: byte-identical URL/link/
+    image_id/caption scheme, as a SyntheticWeb the pure-Python simulator
+    can crawl — the parity oracle for the deep bench leg."""
+    offs, total_roots = _deep_level_offsets(n_seed_roots, child_roots, depth)
+    web = SyntheticWeb(seeds=[], seed=seed)
+
+    def leaf_url(j: int) -> str:
+        return f"http://h{j % n_hosts}.test/item/{j}"
+
+    count = n_seed_roots
+    for d in range(depth):
+        for i in range(count):
+            g = offs[d] + i
+            links = []
+            if d < depth - 1:
+                links += [
+                    f"http://h{(offs[d + 1] + i * child_roots + j) % n_hosts}"
+                    f".test/cat/{offs[d + 1] + i * child_roots + j}"
+                    for j in range(child_roots)
+                ]
+            links += [
+                leaf_url(j)
+                for j in range(g * leaves_per_root, (g + 1) * leaves_per_root)
+            ]
+            web.pages[f"http://h{g % n_hosts}.test/cat/{g}"] = {
+                "kind": "root",
+                "links": links,
+            }
+        count *= child_roots
+    for j in range(total_roots * leaves_per_root):
+        web.pages[leaf_url(j)] = {
+            "kind": "leaf",
+            "image_id": f"img_{j:08d}",
+            "caption": f"synthetic caption {j}",
+        }
+    web.seeds = [
+        f"http://h{r % n_hosts}.test/cat/{r}" for r in range(n_seed_roots)
+    ]
+    return web
+
+
 def make_web(
     seed: int = 42,
     n_hosts: int = 8,
