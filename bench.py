@@ -402,10 +402,15 @@ scaling caps at ~0.78 by 32-way), so the narrower pair is the widest N:4N
 shape whose ceiling is not dominated by host steal; both pairs are "two
 parallelism levels on the same input" per the bench protocol.
 Each leg is pinned to its core budget with `taskset -c` so the N leg
-cannot borrow the 4N leg's physical cores. Each leg is the fastest of
-its interleaved repeats (all repeat rates below) — the sandbox VM shows
-2-3x run-to-run hypervisor noise, and min-of-R time is the standard
-estimator for true machine capability under one-sided noise.
+cannot borrow the 4N leg's physical cores. Estimator: the ratio is
+built from each LEG's best rate across all of this single invocation's
+interleaved repeats (all repeat rates below) — min-of-R per leg is the
+standard estimator for true machine capability under one-sided noise
+(the sandbox VM shows 2-3x run-to-run hypervisor drift), and because
+repeats alternate legs within one invocation, time-varying host noise
+lands on both legs rather than selecting a favorable whole-run window.
+The headline is never a best-of-invocations pick: one protocol run =
+one reported ratio.
 
 | parallelism | URLs | rounds | seconds | URLs/sec | repeat rates |
 |---|---|---|---|---|---|

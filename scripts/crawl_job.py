@@ -62,6 +62,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-concurrency", type=int, default=16,
                    help="HTTP sockets per python worker")
     p.add_argument("--track-leases", action="store_true")
+    p.add_argument("--max-depth", type=int, default=None,
+                   help="drop links that would enqueue deeper than this"
+                        " (open-web frontier bound); default unbounded")
     p.add_argument("--retry-failed", type=int, default=0,
                    help="bounded re-enqueue of transient failures (5xx/"
                         "597-599): N extra attempts per URL; 0 = terminal"
@@ -104,6 +107,7 @@ def main(argv: list[str] | None = None) -> None:
         seen_filter=args.seen_filter,
         track_leases=args.track_leases,
         retry_failed=args.retry_failed,
+        max_depth=args.max_depth,
         compact_every=args.compact_every,
         compact_buckets=args.compact_buckets,
     )

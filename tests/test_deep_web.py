@@ -61,6 +61,29 @@ def test_deep_crawl_matches_sim(deep_crawled):
     assert len(stats) == len(sim.rounds)
 
 
+def test_max_depth_guard_matches_sim(spark):
+    """max_depth=D: links that would enqueue deeper than D are dropped
+    (their parent is still fetched) — the open-web frontier bound. The
+    4-level web is the fixture where the guard actually bites: waves
+    stop at 3 instead of 5."""
+    seeds, df = make_deep_web_df(spark, **PARAMS)
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="weaver_depthcap_"),
+        mode="reproduction",
+        max_depth=2,
+    )
+    eng.set_web_df(df)
+    eng.seed_urls(seeds)
+    stats = eng.run(max_rounds=20)
+    sim = simulate_crawl(make_deep_web(**PARAMS), max_depth=2)
+    got = [r["url"] for r in eng.crawl_order().collect()]
+    assert got == sim.crawl_order
+    assert len(stats) == len(sim.rounds) == 3  # d0, d1, d2 — no wave 4
+    state = eng.frontier.latest_state(eng.spark)
+    assert state.agg({"depth": "max"}).collect()[0][0] == 2
+
+
 def test_deep_crawl_exercises_depth_priority(deep_crawled):
     """The point of the deep web: >= 3 distinct live depth levels
     coexist in the frontier, so the depth-decay priority source actually

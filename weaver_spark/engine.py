@@ -129,6 +129,7 @@ class CrawlEngine:
         priority_mode: str = "kind",
         retry_failed: int = 0,
         retry_min_status: int = 500,
+        max_depth: int | None = None,
     ):
         assert mode in ("reproduction", "scale")
         assert priority_mode in ("kind", "depth")
@@ -143,6 +144,14 @@ class CrawlEngine:
         assert retry_failed >= 0
         self.retry_failed = retry_failed
         self.retry_min_status = retry_min_status
+        # max_depth=D: links that would enqueue at depth > D are dropped
+        # at the stage-read boundary (one links-column mask, before the
+        # stats agg — so link counts, the links pass and the carry all
+        # see the same capped set; no extra job). The open web is
+        # effectively infinite: an uncapped frontier is a real deploy
+        # hazard the closed reference never faced. None = unbounded.
+        assert max_depth is None or max_depth >= 0
+        self.max_depth = max_depth
         self.priority_mode = priority_mode
         self.spark = spark
         self.mode = mode
@@ -1057,7 +1066,16 @@ class CrawlEngine:
         def _read_results(dirs: list[str]) -> DataFrame:
             if not dirs:
                 return spark.createDataFrame([], FETCH_RESULT_SCHEMA)
-            return spark.read.schema(FETCH_RESULT_SCHEMA).parquet(*dirs)
+            df = spark.read.schema(FETCH_RESULT_SCHEMA).parquet(*dirs)
+            if self.max_depth is not None:
+                # depth guard: a page AT the cap is fetched, its links
+                # (depth+1 > cap) are masked out here so the stats agg,
+                # links pass and carry all see one capped link set
+                df = df.withColumn(
+                    "links",
+                    F.when(F.col("depth") < self.max_depth, F.col("links")),
+                )
+            return df
 
         results = _read_results(leaf_dirs)
         mark("fetch_stage")

@@ -59,6 +59,7 @@ def simulate_crawl(
     max_rounds: int = 10_000,
     priority_mode: str = "kind",
     retry_failed: int = 0,
+    max_depth: int | None = None,
 ) -> SimResult:
     """Run the reference-semantics crawl to frontier exhaustion.
 
@@ -78,6 +79,9 @@ def simulate_crawl(
     event with attempt+1, at the failure's position in the put loop
     (exactly where a root's links would land), until N retries are
     spent. The failed attempt's status row stays 'failed'.
+
+    ``max_depth=D`` mirrors the engine's depth guard: links that would
+    enqueue at depth > D are never put (their parent is still fetched).
     """
     res = SimResult()
     next_seq = 0
@@ -154,6 +158,8 @@ def simulate_crawl(
                 links = page["links"]
                 if k_cap is not None:
                     links = links[:k_cap]
+                if max_depth is not None and depth >= max_depth:
+                    links = []  # depth guard: children would exceed cap
                 for link in links:  # DOM order preserved
                     put(link, next_wave, depth + 1)
             elif kind == "leaf":
