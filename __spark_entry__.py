@@ -77,12 +77,69 @@ def _crawl_e2e_oracle_sql() -> str:
     )
 
 
+_DEEP_PARAMS = dict(
+    n_seed_roots=2, child_roots=2, depth=4, leaves_per_root=3, n_hosts=4
+)
+_DEAD_SEED = "http://h0.test/missing/x"  # not in the web: fails, retries once
+
+
+def _crawl_e2e_depth_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second engine e2e, pinning the open-web controls: a 4-level deep
+    web crawled with max_depth=2 (links past the cap never enqueue) and
+    retry_failed=1 (a dead seed fails, re-enqueues once as a new seq,
+    fails terminally). Output is the full per-enqueue-event status log —
+    seq assignment, retry re-enqueues and depth-guard suppression are
+    all value-hashed against the simulator."""
+    from weaver_spark.engine import CrawlEngine
+    from weaver_spark.webgen import make_deep_web_df
+
+    seeds, web_df = make_deep_web_df(spark, **_DEEP_PARAMS)
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="weaver_e2e_dr_"),
+        mode="reproduction",
+        max_depth=2,
+        retry_failed=1,
+        retry_min_status=400,  # the synthetic missing page is a 404
+    )
+    eng.set_web_df(web_df)
+    eng.seed_urls(seeds + [_DEAD_SEED])
+    eng.run(max_rounds=12)
+    return (
+        eng.frontier.latest_state(spark)
+        .select("enqueue_seq", "url", "status")
+        .orderBy("enqueue_seq")
+    )
+
+
+def _crawl_e2e_depth_retry_oracle_sql() -> str:
+    """Simulator run with the same flags on the driver-side mirror web,
+    rendered as a VALUES literal (same pattern as the gather e2e)."""
+    from weaver_spark.sim import simulate_crawl
+    from weaver_spark.webgen import make_deep_web
+
+    web = make_deep_web(**_DEEP_PARAMS)
+    web.seeds.append(_DEAD_SEED)
+    res = simulate_crawl(web, retry_failed=1, max_depth=2)
+    rows = sorted(res.statuses)
+    values = ",\n  ".join(
+        f"(CAST({seq} AS BIGINT), '{url}', '{status}')"
+        for seq, url, status in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + ") AS t(enqueue_seq, url, status) ORDER BY enqueue_seq"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
     out["crawl_e2e_gather"] = _crawl_e2e_gather
+    out["crawl_e2e_depth_retry"] = _crawl_e2e_depth_retry
     return out
 
 
@@ -90,4 +147,5 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query."""
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
     out["crawl_e2e_gather"] = _crawl_e2e_oracle_sql()
+    out["crawl_e2e_depth_retry"] = _crawl_e2e_depth_retry_oracle_sql()
     return out
