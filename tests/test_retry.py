@@ -88,6 +88,52 @@ def test_retry_statuses_and_attempts(retried):
     assert sum(s["retried"] for s in stats) == 2 * N_RETRY
 
 
+def test_retry_under_budget_matches_sim(spark, dead_web):
+    """Scale mode: the retry re-enqueue composes with the per-host
+    politeness budget — retried rows re-enter the scheduler window like
+    any enqueue and defer like any row when the host is over budget."""
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="weaver_retry_budget_"),
+        mode="scale",
+        host_budget=2,
+        retry_failed=1,
+        retry_min_status=400,
+    )
+    eng.set_web(dead_web)
+    eng.seed_urls(dead_web.seeds)
+    eng.run(max_rounds=40)
+    sim = simulate_crawl(dead_web, host_budget=2, retry_failed=1)
+    got = [r["url"] for r in eng.crawl_order().collect()]
+    assert got == sim.crawl_order
+
+
+def test_retry_clears_lease(spark, dead_web):
+    """track_leases + retry: the failed attempt's terminal row has no
+    live lease, and the retry row is a fresh pending enqueue."""
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="weaver_retry_lease_"),
+        mode="reproduction",
+        track_leases=True,
+        retry_failed=1,
+        retry_min_status=400,
+    )
+    eng.set_web(dead_web)
+    eng.seed_urls(dead_web.seeds)
+    eng.run(max_rounds=40)
+    rows = [
+        r
+        for r in eng.frontier.latest_state(eng.spark).collect()
+        if r["url"] == "http://h1.test/missing/seed"
+    ]
+    assert sorted((r["attempt"], r["status"]) for r in rows) == [
+        (0, "failed"),
+        (1, "failed"),
+    ]
+    assert all(r["lease_ts"] is None for r in rows)
+
+
 def test_retry_default_stays_reference_faithful(spark, dead_web):
     eng = CrawlEngine(
         spark, tempfile.mkdtemp(prefix="weaver_noretry_"), mode="reproduction"
