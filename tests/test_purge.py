@@ -242,3 +242,21 @@ def test_purge_vacuum_before_any_store(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
     eng.purge_images(["img_never_stored"])
     assert eng.purge_vacuum() == 0
+
+
+def test_purge_vacuum_idempotent_after_emptying_every_dir(spark, tmp_path):
+    """Purging EVERY stored key empties every images data dir; a second
+    purge_vacuum (the op is idempotent by contract) must return 0, not
+    crash — an empty-dir read comes from createDataFrame, which has no
+    _metadata file-source column to scan."""
+    web = make_web(seed=6, n_hosts=2, n_seed_roots=1, depth=1)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), mode="reproduction")
+    eng.set_web(web)
+    eng.seed_urls(web.seeds)
+    eng.run(max_rounds=10)
+    keys = [r["image_id"] for r in eng.images.read(spark).collect()]
+    assert keys
+    eng.purge_images(keys)
+    assert eng.purge_vacuum() >= 1  # rewrites every dir to zero survivors
+    assert eng.images.read(spark).count() == 0
+    assert eng.purge_vacuum() == 0  # idempotent on the fully-emptied table

@@ -167,6 +167,13 @@ class _FlakyHandler(BaseHTTPRequestHandler):
         if self.path == "/dead":
             self.send_error(503)  # permanent: exhausts the retry budget
             return
+        if self.path == "/big":
+            body = b"x" * 5000  # oversize vs the test's 1 KiB body cap
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         body = PNG
         self.send_response(200)
         self.send_header("Content-Length", str(len(body)))
@@ -213,6 +220,29 @@ def test_http_transient_503_recovers(spark, flaky_server):
     assert sorted(dead) == [(i, "failed") for i in range(1 + N_RETRY)]
     assert _FlakyHandler.hits["/dead"] == 1 + N_RETRY
     assert f"{flaky_server}/dead" not in stored
+
+
+def test_deterministic_rejections_never_retried(spark, flaky_server):
+    """597/598 are deterministic LOCAL rejections (wrong media type,
+    oversize body): the answer cannot change on retry and 598 would
+    re-stream up to the cap per attempt — excluded from the transient
+    set even though they sit above the 5xx threshold."""
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="weaver_http_598_"),
+        retry_failed=N_RETRY,  # default retry_min_status=500
+    )
+    eng.set_http_fetcher(
+        max_concurrency=2,
+        backoff_base_s=0.01,
+        timeout_s=5.0,
+        max_body_bytes=1024,
+    )
+    eng.seed_urls([f"{flaky_server}/big"])
+    eng.run(max_rounds=5)
+    rows = eng.frontier.latest_state(spark).collect()
+    assert [(r["attempt"], r["status"]) for r in rows] == [(0, "failed")]
+    assert _FlakyHandler.hits["/big"] == 1  # exactly one fetch, no retry
 
 
 def test_below_threshold_not_retried(spark, flaky_server):

@@ -134,9 +134,13 @@ class CrawlEngine:
         assert mode in ("reproduction", "scale")
         assert priority_mode in ("kind", "depth")
         # retry_failed=N: opt-in bounded re-enqueue of transient fetch
-        # failures (status_code >= retry_min_status; default 5xx — the
-        # http fetcher's connect-failed/too-large sentinels 597-599
-        # included). Default 0 keeps the reference's at-most-once ack:
+        # failures (status_code >= retry_min_status; default 5xx,
+        # including the fetcher's 599 connect-failed sentinel but NEVER
+        # 597/598 — a wrong Content-Type or an oversize body is a
+        # deterministic local rejection that returns the same answer on
+        # every attempt, and re-streaming up to max_body_bytes per retry
+        # is pure bandwidth burn at crawl scale, fetch.py:130-135).
+        # Default 0 keeps the reference's at-most-once ack:
         # `failed` is terminal (src/scrapper/queueService.go:91-94 acks
         # on pop; a failed visit is never re-queued). A retry is a NEW
         # enqueue event — fresh seq, attempt+1 — so history keeps every
@@ -317,16 +321,20 @@ class CrawlEngine:
         (host, site) rows as one Spark job, commit the parsed rows to the
         durable robots table. Callers pass only NOT-yet-cached hosts.
 
-        Kwargs from enable_auto_robots are filtered to fetch_robots_df's
-        signature: 'scheme' only applies to the driver-side variant
-        (bare-host sites need an authority; here the site column already
-        carries scheme://host:port extracted from the pending URLs)."""
-        import inspect
-
+        Only the KNOWN-inapplicable enable_auto_robots kwargs are
+        dropped here ('distributed' is this method's own switch;
+        'scheme' only applies to the driver-side variant — bare-host
+        sites need an authority, but the site column already carries
+        scheme://host:port extracted from the pending URLs). Anything
+        else passes through verbatim so a caller typo still fails fast
+        with a TypeError instead of silently fetching with defaults."""
         from .operators.robots import fetch_robots_df
 
-        accepted = set(inspect.signature(fetch_robots_df).parameters) - {"sites_df"}
-        kw = {k: v for k, v in self._auto_robots.items() if k in accepted}
+        kw = {
+            k: v
+            for k, v in self._auto_robots.items()
+            if k not in ("distributed", "scheme")
+        }
         rows = fetch_robots_df(sites_df, **kw).persist()
         n = rows.count()
         if n:
@@ -603,9 +611,11 @@ class CrawlEngine:
         p = self._purge_watermarks()
         if p is None:
             return 0
-        if not self.images.last_commit():
-            # empty table reads come from createDataFrame (no file-source
-            # relation), where _metadata does not exist — nothing to vacuum
+        if not any(files for _cid, files, _m in self.images.live_commits()):
+            # no live commit owns any data dir (never-written table, OR a
+            # previous vacuum already emptied every dir): the read comes
+            # from createDataFrame (no file-source relation), where
+            # _metadata does not exist — nothing to vacuum
             return 0
         rows = self.images.read(
             spark, schema=self._images_keys_schema()
@@ -1176,10 +1186,20 @@ class CrawlEngine:
         n_retries = 0
         retry_rows = None
         if self.retry_failed and agg["failed"]:
+            from .operators.fetch import (
+                STATUS_BODY_TOO_LARGE,
+                STATUS_UNSUPPORTED_MEDIA,
+            )
+
             retry_rows = (
                 batch.join(
                     results.where(
-                        F.col("status_code") >= self.retry_min_status
+                        (F.col("status_code") >= self.retry_min_status)
+                        # deterministic local rejections never retry: the
+                        # answer cannot change and 598 re-streams the cap
+                        & ~F.col("status_code").isin(
+                            STATUS_UNSUPPORTED_MEDIA, STATUS_BODY_TOO_LARGE
+                        )
                     ).select("enqueue_seq"),
                     "enqueue_seq",
                 )

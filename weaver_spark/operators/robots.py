@@ -59,6 +59,27 @@ def delay_cap_expr(round_time_budget_ms: int = 1000):
     )
 
 
+def disallowed_expr(path_col, disallow_col, allow_col):
+    """The longest-match precedence rule (ties to Allow — the de-facto
+    Google semantics) as ONE shared Spark expression: a null-robots row
+    is allowed. Single source for apply_robots and the registry's
+    robots_disallow_filter query, so a future precedence change cannot
+    silently apply to only one of them."""
+
+    def longest(col):
+        # length of the longest rule prefix matching the path (0 = none)
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(col, lambda p: path_col.startswith(p)), F.length
+                )
+            ),
+            F.lit(0),
+        )
+
+    return F.coalesce(longest(disallow_col) > longest(allow_col), F.lit(False))
+
+
 def apply_robots(
     pending: DataFrame,
     robots: DataFrame,
@@ -91,23 +112,10 @@ def apply_robots(
         )
     )
     joined = pending.join(r, pending["host"] == r["_r_host"], "left").drop("_r_host")
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
-
-    def longest_match(col):
-        # length of the longest rule prefix matching the path (0 = none)
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.filter(col, lambda p: path.startswith(p)), F.length
-                )
-            ),
-            F.lit(0),
-        )
-
-    disallowed = F.coalesce(
-        longest_match(F.col("disallow_prefixes"))
-        > longest_match(F.col("_allow_prefixes")),
-        F.lit(False),
+    disallowed = disallowed_expr(
+        F.parse_url(F.col("url"), F.lit("PATH")),
+        F.col("disallow_prefixes"),
+        F.col("_allow_prefixes"),
     )
     blocked = joined.where(disallowed).drop(
         "disallow_prefixes", "_allow_prefixes", DELAY_CAP_COL, DELAY_MS_COL

@@ -335,20 +335,11 @@ def robots_disallow_filter(spark: SparkSession, sf: str) -> DataFrame:
         "host string, disallow_prefixes array<string>, allow_prefixes array<string>",
     )
     joined = fr.join(F.broadcast(robots), "host", "left")
+    # the ONE shared precedence rule — same expression apply_robots uses
+    from .operators.robots import disallowed_expr
 
-    def longest(col):
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.filter(col, lambda p: F.col("path").startswith(p)), F.length
-                )
-            ),
-            F.lit(0),
-        )
-
-    disallowed = F.coalesce(
-        longest(F.col("disallow_prefixes")) > longest(F.col("allow_prefixes")),
-        F.lit(False),
+    disallowed = disallowed_expr(
+        F.col("path"), F.col("disallow_prefixes"), F.col("allow_prefixes")
     )
     return joined.where(~disallowed).select("host", "enqueue_seq", "path")
 
