@@ -12,6 +12,14 @@ queries.py; these are the reusable library forms over any (id, text) or
 5. embedding_cosine — cosine near-dup pairs over vectors (see
                       similarity.py for the top-k search variants)
 
+Plus the RESOLUTION step every near-dup tier feeds: candidate PAIRS are
+not a deduped corpus — ``connected_components`` reduces the pair graph
+to clusters (alternating large-star/small-star min-id propagation,
+O(log n) keyed self-join rounds, no driver state beyond a convergence
+scalar), ``dedup_resolve`` maps every node to its cluster's canonical
+(min) id, and ``dedup_keep`` drops the non-canonical rows — the actual
+"remove the duplicates" step of a training-data pipeline.
+
 Scale notes: every self-join here is bucketed by a band/bucket key so
 the shuffle is keyed and skew-bounded; pair explosion is controlled by
 band width (minhash), hamming radius (simhash), or a candidate prefilter
@@ -206,6 +214,116 @@ def dedup_ngram_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> one row per
+    node: (node, component) where component = the MIN node id in its
+    component.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two keyed groupBy+join passes over the edge set, and the
+    edge set converges to stars rooted at each component's minimum in
+    O(log n) rounds. Scale shape: no driver-side state beyond one
+    convergence checksum per round; every pass shuffles on a node key
+    (skew-bounded — a large-star pass splits high-degree stars instead
+    of growing them); lineage is truncated per round with
+    ``localCheckpoint`` so the iterative plan never compounds. This is
+    the standard formulation for web-scale graphs (trillions of edges);
+    a 100 TB corpus's near-dup pair graph is far below that.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(edges: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        # symmetric view; for each node u, every strictly-larger
+        # neighbor repoints at min(N(u) ∪ {u})
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.withColumn("m", F.least(F.col("mn"), F.col("u"))).select("u", "m")
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        # orient edges toward the larger endpoint; each node's smaller
+        # neighbors (and itself) repoint at the minimum neighbor
+        ori = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (
+            ori.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+        return nbrs.union(selfs).where(F.col("u") != F.col("v")).distinct()
+
+    prev = _checksum(e)
+    for _ in range(max_iters):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e2)
+        e = e2
+        if cur == prev:  # fixpoint: pure stars rooted at component minima
+            break
+        prev = cur
+    # converged edges are (node -> component min); the roots map to
+    # themselves so every node present in `pairs` gets exactly one row
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_resolve(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Candidate near-dup PAIRS -> (doc_id, canonical_id): every doc in
+    any pair maps to its cluster's min id (the canonical survivor —
+    min-id-wins, matching ``dedup_exact``). Docs not in any pair are
+    their own canonical and simply don't appear (callers left-join)."""
+    return connected_components(pairs, src, dst).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def dedup_keep(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """The 'drop the duplicates' step: keep only canonical docs — rows
+    whose id never appears as a non-canonical member of a near-dup
+    cluster. The resolved loser set is O(duplicates) and anti-joined
+    against the corpus (broadcast-sized in real corpora: dup rate << 1)."""
+    losers = (
+        dedup_resolve(pairs)
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def dedup_phash_hamming(

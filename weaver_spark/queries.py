@@ -682,6 +682,89 @@ WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
 """
 
 
+def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the step after candidate pairs
+    that every dedup tier feeds (operators/dedup.connected_components:
+    alternating large-star/small-star min-id propagation, O(log n)
+    keyed self-join rounds, no driver state): pairs -> (doc_id,
+    canonical_id, cluster_size), canonical = min id in the component —
+    the same min-id-wins rule as dedup_exact, so `keep doc_id ==
+    canonical_id` IS the dedup decision.
+
+    Pair graph = the real ngram-Jaccard near-dup pairs (>= 0.8) UNION
+    deterministic planted 3-node chains over doc_id anchors 400..490 —
+    chains are the adversarial case for naive one-hop propagation
+    (min reaches the tail only through iteration) and give the
+    resolver multiple components to keep separate. The DuckDB oracle
+    computes the identical components via a recursive CTE (transitive
+    closure + min per node)."""
+    from .operators.dedup import dedup_resolve
+
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    d = _t(spark, sf, "documents")
+    anchors = d.select("doc_id").where(
+        (F.col("doc_id") % 10 == 0) & F.col("doc_id").between(400, 490)
+    )
+    chains = anchors.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 3).alias("doc_b")
+    ).unionByName(
+        anchors.select(
+            (F.col("doc_id") + 3).alias("doc_a"),
+            (F.col("doc_id") + 6).alias("doc_b"),
+        )
+    )
+    res = dedup_resolve(pairs.unionByName(chains), "doc_a", "doc_b")
+    sizes = res.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return res.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+# the oracle reuses the exact JACCARD_SQL pair definition, then resolves
+# components by recursive transitive closure (min reachable id per node)
+NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE tok0 AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)),
+keep AS (
+  SELECT tok FROM tok0 GROUP BY tok
+  HAVING COUNT(*) <= FLOOR(0.5 * (SELECT COUNT(*) FROM documents))),
+tok AS (SELECT tok0.doc_id, tok0.tok FROM tok0 JOIN keep USING (tok)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jpairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8),
+anchors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id BETWEEN 400 AND 490),
+allp AS (
+  SELECT doc_a, doc_b FROM jpairs
+  UNION ALL SELECT doc_id, doc_id + 3 FROM anchors
+  UNION ALL SELECT doc_id + 3, doc_id + 6 FROM anchors),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM allp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM allp),
+reach (node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+canon AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS canonical_id
+  FROM reach GROUP BY node)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM canon c JOIN (
+  SELECT canonical_id, COUNT(*) AS cluster_size
+  FROM canon GROUP BY canonical_id) s USING (canonical_id)
+"""
+
+
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-3 per query vector (ANN baseline): JVM-side
     zip_with/aggregate dot products, no Python in the hot path."""
@@ -973,6 +1056,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_PAIRS_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, JACCARD_SQL),
+    "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, COSINE_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "ann_ivf_topk": (ann_ivf_topk, IVF_SQL),
