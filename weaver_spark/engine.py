@@ -712,6 +712,57 @@ class CrawlEngine:
         self.images.vacuum()  # old dirs are now unreferenced: delete bytes
         return n_rewritten
 
+    def _reconcile_final_keys(
+        self, p_dir: str, seen_keys: DataFrame
+    ) -> tuple[str | None, str | None]:
+        """HTTP-mode post-fetch payload dedup (redirect awareness): the
+        payload key is the canonical POST-redirect URL, which exists only
+        after the fetch — so the pre-fetch first-wins/seen anti-join
+        (request-URL keys) is a fast path, and THIS is the authority.
+        Re-runs first-wins-per-key + the exact seen anti-join over the
+        staged sink=p KEYS ONLY (column-pruned — bytes never read); when
+        every row survives (no redirect collisions — the overwhelmingly
+        common round) the original dir adopts verbatim at zero extra
+        write cost. Otherwise ONE job splits the dir by verdict
+        (partitionBy) — winners adopt into the images table, losers stay
+        stage-side so their status/metrics rows still flow.
+
+        Returns (store_dir_or_None, loser_dir_or_None)."""
+        spark = self.spark
+        keys = spark.read.schema(self._images_keys_schema()).parquet(p_dir)
+        firsts = topk_per_group(keys, ["image_id"], ["enqueue_seq"], 1)
+        winners = antijoin_exact(firsts, seen_keys, "image_id").persist()
+        n_keep = winners.count()
+        total = keys.count()
+        if n_keep == total:
+            winners.unpersist()
+            return p_dir, None
+        split_dir = p_dir + "-post"
+        stage_codec = os.environ.get("WEAVER_STAGE_CODEC", "uncompressed")
+        rows = spark.read.schema(FETCH_RESULT_SCHEMA).parquet(p_dir)
+        (
+            rows.join(
+                winners.select("enqueue_seq").withColumn("_w", F.lit(True)),
+                "enqueue_seq",
+                "left",
+            )
+            .withColumn("_keep", F.coalesce(F.col("_w"), F.lit(False)))
+            .drop("_w")
+            .write.partitionBy("_keep")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.block.size", str(8 * 1024 * 1024))
+            .option("compression", stage_codec)
+            .mode("overwrite")
+            .parquet(split_dir)
+        )
+        winners.unpersist()
+        keep_dir = os.path.join(split_dir, "_keep=true")
+        lose_dir = os.path.join(split_dir, "_keep=false")
+        return (
+            keep_dir if os.path.isdir(keep_dir) else None,
+            lose_dir if os.path.isdir(lose_dir) else None,
+        )
+
     # -- the round ---------------------------------------------------------
 
     def current_round(self) -> int:
@@ -1114,9 +1165,16 @@ class CrawlEngine:
         img_commit = None
         p_dir = os.path.join(stage_dir, f"sink={SINK_PAYLOAD}")
         adopted_dir = None
-        if os.path.isdir(p_dir):
+        loser_dir = None
+        adopt_src = p_dir if os.path.isdir(p_dir) else None
+        if adopt_src is not None and pages is None:
+            # http mode: payload keys are POST-redirect urls — reconcile
+            # first-wins + seen membership on the final keys before the
+            # files enter the table (no-op rounds adopt verbatim)
+            adopt_src, loser_dir = self._reconcile_final_keys(adopt_src, seen_keys)
+        if adopt_src is not None:
             img_commit = self.images.adopt(
-                p_dir, meta={"op": "merge", "round": round_no}
+                adopt_src, meta={"op": "merge", "round": round_no}
             )
             adopted_dir = self.images.commit_files(img_commit)[0]
         # filter maintenance: the round's stored keys enter the
@@ -1126,7 +1184,15 @@ class CrawlEngine:
         # never per-key rows. Both filters checkpoint to the warehouse
         # so a restart resumes from the watermark.
         if img_commit is not None and self.seen_filter in ("bloom", "cuckoo"):
-            new_keys = winner_keys.select("image_id")
+            if pages is None:
+                # http mode: the STORED keys are the post-redirect finals
+                # (reconciled above) — read them from the adopted files
+                # (keys-only, column-pruned), not the pre-fetch verdict
+                new_keys = spark.read.schema(self._images_keys_schema()).parquet(
+                    adopted_dir
+                ).select("image_id")
+            else:
+                new_keys = winner_keys.select("image_id")
             if self.seen_filter == "bloom":
                 self._bloom.insert_df(new_keys, "image_id")
                 self._bloom.save(self._bloom_dir, self.images.last_commit())
@@ -1135,9 +1201,13 @@ class CrawlEngine:
                 self._cuckoo.save(self._cuckoo_dir, self.images.last_commit())
         if self.seen_filter in ("bloom", "cuckoo"):
             winner_keys.unpersist()
-        # the adoption MOVED sink=p: rebind downstream consumers to the
-        # surviving locations (same rows, new paths)
+        # the adoption MOVED sink=p (or its reconciled winner split):
+        # rebind downstream consumers to the surviving locations (same
+        # rows, new paths; redirect-dedup losers stay stage-side so
+        # their status/metrics rows still flow)
         meta_dirs = [d for d in leaf_dirs if d != p_dir]
+        if loser_dir is not None:
+            meta_dirs.append(loser_dir)
         if adopted_dir is not None:
             meta_dirs.append(adopted_dir)
         results = _read_results(meta_dirs)
@@ -1228,7 +1298,11 @@ class CrawlEngine:
             if agg["n_links"]:
                 links = results.where(F.size("links") > 0).select(
                     F.col("enqueue_seq").alias("parent_seq"),
-                    F.col("url").alias("parent_url"),
+                    # hrefs resolve against the POST-redirect base when
+                    # the fetcher recorded one (a page served from a 301
+                    # target addresses its relative links there, not at
+                    # the pre-redirect request URL)
+                    F.coalesce(F.col("final_url"), F.col("url")).alias("parent_url"),
                     (F.col("depth") + 1).alias("depth"),  # stage pass-through:
                     # no parent join needed for link depth
                     F.posexplode("links").alias("link_pos", "raw_url"),

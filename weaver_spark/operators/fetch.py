@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 
 from ..codec import decode_image, phash64
+from ..functions.urls import canonicalize_series
 from ..schemas import URL_TYPE_ROOT
 
 _FETCH_INPUT_COLS = [
@@ -79,6 +80,7 @@ def make_synthetic_fetch_fn(k_cap: int | None, seed: int = 42):
                 "phash": [None] * n,
                 "bytes_len": np.zeros(n, dtype="int64"),
                 "fetch_ms": np.zeros(n, dtype="int64"),
+                "final_url": [None] * n,  # the synthetic web never redirects
                 "sink": ["m"] * n,
             }
             kinds = pdf["page_kind"].to_numpy(dtype=object)
@@ -190,7 +192,13 @@ def make_http_fetch_fn(
         lambda url, timeout: urllib.request.urlopen(url, timeout=timeout)
     )
 
-    def fetch_one(url: str) -> tuple[int, bytes, int]:
+    def fetch_one(url: str) -> tuple[int, bytes, int, str]:
+        """(status, body, ms, final_url) — final_url is the POST-redirect
+        URL (urllib follows 3xx silently; ``r.geturl()`` exposes where
+        the response actually came from). Payload keys and link
+        resolution must use it: two request URLs 301-ing to one target
+        are ONE payload, and relative hrefs resolve against the final
+        base, not the pre-redirect one."""
         t0 = time.perf_counter()
 
         def ms() -> int:
@@ -199,6 +207,10 @@ def make_http_fetch_fn(
         for attempt in range(max_retries):
             try:
                 with _open(url, timeout_s) as r:
+                    final = url
+                    geturl = getattr(r, "geturl", None)
+                    if callable(geturl):
+                        final = geturl() or url
                     headers = getattr(r, "headers", None)
                     if allowed_content_types is not None:
                         ctype = (
@@ -209,7 +221,7 @@ def make_http_fetch_fn(
                         if not any(
                             ctype.startswith(p) for p in allowed_content_types
                         ):
-                            return STATUS_UNSUPPORTED_MEDIA, b"", ms()
+                            return STATUS_UNSUPPORTED_MEDIA, b"", ms(), final
                     clen = (
                         headers.get("Content-Length")
                         if headers is not None
@@ -218,7 +230,7 @@ def make_http_fetch_fn(
                     if clen is not None:
                         try:
                             if int(clen) > max_body_bytes:
-                                return STATUS_BODY_TOO_LARGE, b"", ms()
+                                return STATUS_BODY_TOO_LARGE, b"", ms(), final
                         except ValueError:
                             pass  # dishonest header: the chunk loop decides
                     chunks: list[bytes] = []
@@ -229,17 +241,17 @@ def make_http_fetch_fn(
                             break
                         total += len(c)
                         if total > max_body_bytes:
-                            return STATUS_BODY_TOO_LARGE, b"", ms()
+                            return STATUS_BODY_TOO_LARGE, b"", ms(), final
                         chunks.append(c)
-                    return r.status, b"".join(chunks), ms()
+                    return r.status, b"".join(chunks), ms(), final
             except urllib.error.HTTPError as e:
                 # a status line IS an answer — 404 is not a flaky socket
-                return e.code, b"", ms()
+                return e.code, b"", ms(), url
             except Exception:
                 if attempt == max_retries - 1:
                     break
                 time.sleep(min(backoff_base_s * (2.0**attempt), 30.0))
-        return STATUS_CONNECT_FAILED, b"", ms()
+        return STATUS_CONNECT_FAILED, b"", ms(), url
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition pacing state: last response-completion time per
@@ -304,6 +316,12 @@ def make_http_fetch_fn(
                     for f in pfuts:
                         for i, r in f.result():
                             fetched[i] = r
+                # canonical post-redirect URLs, vectorized once per batch
+                # (same canonicalizer as enqueue time, so a final URL and
+                # its enqueued spelling can never disagree)
+                finals = list(
+                    canonicalize_series(pd.Series([f for _, _, _, f in fetched]))
+                )
                 out = {
                     "url": pdf["url"],
                     "enqueue_seq": pdf["enqueue_seq"],
@@ -311,7 +329,7 @@ def make_http_fetch_fn(
                     "url_type": pdf["url_type"],
                     "depth": pdf["depth"],
                     "status_code": np.array(
-                        [s for s, _, _ in fetched], dtype="int32"
+                        [s for s, _, _, _ in fetched], dtype="int32"
                     ),
                     "links": [None] * n,
                     "image_id": [None] * n,
@@ -323,15 +341,16 @@ def make_http_fetch_fn(
                     "phash": [None] * n,
                     "bytes_len": np.zeros(n, dtype="int64"),
                     "fetch_ms": np.array(
-                        [ms for _, _, ms in fetched], dtype="int64"
+                        [ms for _, _, ms, _ in fetched], dtype="int64"
                     ),
+                    "final_url": finals,
                     "sink": ["m"] * n,
                 }
                 if "_store" in pdf.columns:
                     stores = pdf["_store"].eq(True).to_numpy(dtype=bool)
                 else:
                     stores = np.ones(n, dtype=bool)
-                for i, (status, body, _ms) in enumerate(fetched):
+                for i, (status, body, _ms, _f) in enumerate(fetched):
                     if status != 200:
                         continue
                     if url_types[i] == URL_TYPE_ROOT:
@@ -340,7 +359,9 @@ def make_http_fetch_fn(
                             links = links[:k_cap]
                         out["links"][i] = links
                     else:
-                        out["image_id"][i] = urls[i]
+                        # payload key = the canonical FINAL url: request
+                        # spellings that 301 to one target share one key
+                        out["image_id"][i] = finals[i]
                         if not stores[i]:
                             continue  # dedup loser: fetched, not stored
                         out["bytes"][i] = body

@@ -172,6 +172,11 @@ FETCH_RESULT_SCHEMA = StructType(
         StructField("phash", LongType(), True),
         StructField("bytes_len", LongType(), False),  # so metrics never scan bytes
         StructField("fetch_ms", LongType(), False),
+        # post-redirect canonical URL (HTTP mode; urllib follows 3xx):
+        # payloads key on it and discovered hrefs resolve against it.
+        # Nullable: null = no redirect / synthetic mode; stage files
+        # written before this column existed read as null.
+        StructField("final_url", StringType(), True),
     ]
 )
 
