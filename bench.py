@@ -88,11 +88,11 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
-def _write_stage_marks(eng, crawl: dict) -> None:
-    """BENCH/stage_marks.txt: per-round stage wall-times from the timed
-    crawl plus the aggregate share per stage — the committed audit trail
-    behind the '>90% of wall is the fetch stage' claim in
-    BENCH/BASELINE.md."""
+def _write_stage_marks(eng, crawl: dict, fname: str = "stage_marks.txt") -> None:
+    """BENCH/<fname>: per-round stage wall-times from a timed crawl plus
+    the aggregate share per stage — the committed audit trail behind the
+    '>90% of wall is the fetch stage' claim in BENCH/BASELINE.md, and
+    (for the deep leg) the fixed-work amortization profile."""
     here = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     totals: dict[str, float] = {}
@@ -105,12 +105,12 @@ def _write_stage_marks(eng, crawl: dict) -> None:
             totals[k] = totals.get(k, 0.0) + v
     grand = sum(totals.values()) or 1.0
     agg = sorted(totals.items(), key=lambda kv: -kv[1])
-    with open(os.path.join(here, "BENCH", "stage_marks.txt"), "w") as f:
+    web = ",".join(f"{k}={v}" for k, v in crawl["web"].items())
+    with open(os.path.join(here, "BENCH", fname), "w") as f:
         f.write(
-            f"# WEAVER_TIMING=1 stage marks, crawl bench "
-            f"({crawl['web']['roots']}x{crawl['web']['leaves_per_root']} web, "
-            f"{crawl['cpus']} cpus, {crawl['urls']} urls, "
-            f"{crawl['seconds']} s wall)\n"
+            f"# WEAVER_TIMING=1 stage marks ({web}; "
+            f"{crawl['urls']} urls, {crawl['seconds']} s wall, "
+            f"{crawl['urls_per_sec']} urls/s)\n"
         )
         f.write("# aggregate share per stage:\n")
         for k, v in agg:
@@ -185,42 +185,152 @@ def bench_crawl(spark, capture_marks: bool = False) -> dict:
     return out
 
 
-def bench_deep_crawl(spark) -> dict:
+def bench_deep_crawl(
+    spark, leaves_per_root: int = 300, capture_marks: bool = False,
+    marks_fname: str = "deep_stage_marks.txt",
+) -> dict:
     """Deep-web crawl throughput: a 4-level root tree (roots linking to
     sub-roots) under depth-decay priority + host budget — multi-hop
     discovery and the (priority, host) scheduler run in a TIMED context,
     which the 2-round flat web never exercises. Parity vs the simulator
-    on this exact web shape is pinned by tests/test_deep_web.py."""
+    on this exact web shape is pinned by tests/test_deep_web.py.
+
+    ``leaves_per_root`` sizes the per-wave rounds: the default 300
+    (≈72k URLs / 5 waves) exposes the per-ROUND fixed work; the x4 leg
+    (1200 leaves, ≈288k URLs over the same 5 waves) shows the per-URL
+    rate recovering as rounds grow — the amortization curve VERDICT r4
+    #6 asked to quantify. ``capture_marks`` commits the per-round stage
+    wall-times (BENCH/deep_stage_marks.txt)."""
     import shutil
 
     from weaver_spark.engine import CrawlEngine
     from weaver_spark.webgen import make_deep_web_df
 
-    # 6*3^d roots (240) x 300 leaves ≈ 72k payloads over 5 waves
     seeds, web_df = make_deep_web_df(
-        spark, n_seed_roots=6, child_roots=3, depth=4, leaves_per_root=300
+        spark, n_seed_roots=6, child_roots=3, depth=4,
+        leaves_per_root=leaves_per_root,
     )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix="weaver_deepbench_", dir=base)
     eng = CrawlEngine(
-        spark, wh, mode="scale", host_budget=4000, priority_mode="depth"
+        spark, wh, mode="scale", host_budget=4000 * max(1, leaves_per_root // 300),
+        priority_mode="depth",
     )
     eng.set_web_df(web_df)
+    prev_timing = os.environ.get("WEAVER_TIMING")
+    if capture_marks:
+        os.environ["WEAVER_TIMING"] = "1"
     t0 = time.perf_counter()
     eng.seed_urls(seeds)
     stats = eng.run(max_rounds=50)
     wall = time.perf_counter() - t0
+    if capture_marks:
+        if prev_timing is None:
+            os.environ.pop("WEAVER_TIMING", None)
+        else:
+            os.environ["WEAVER_TIMING"] = prev_timing
     fetched = sum(s["batch"] for s in stats)
     eng.web_pages.unpersist()
     shutil.rmtree(wh, ignore_errors=True)
-    return {
+    out = {
         "urls": fetched,
         "rounds": len(stats),
         "seconds": round(wall, 3),
         "urls_per_sec": round(fetched / wall, 2),
         "web": {"seed_roots": 6, "child_roots": 3, "depth": 4,
-                "leaves_per_root": 300},
+                "leaves_per_root": leaves_per_root},
     }
+    if capture_marks:
+        _write_stage_marks(eng, out, fname=marks_fname)
+    return out
+
+
+def synth_docs(spark, n_docs: int, n_tokens: int = 30, vocab: int = 20000,
+               dup_groups: int = 1000, seed: int = 7):
+    """Deterministic JVM-side synthetic corpus for the dedup-at-scale
+    leg: n_docs base docs of n_tokens pseudo-random vocab words
+    (xxhash64 arithmetic — no Python, no RNG state), plus one near-dup
+    twin (last token replaced) for each of the first ``dup_groups`` docs
+    — planted pairs at Jaccard ≈ (n_tokens-1-shingle_n)/(n_tokens+1),
+    ~0.81 for 30 tokens / 3-shingles, right at the 0.8 near-dup line."""
+    from pyspark.sql import functions as F
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_tokens)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("doc_id") * 131 + i, F.lit(seed)),
+                    F.lit(vocab),
+                ).cast("string"),
+            ),
+        ),
+    )
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id")).select(
+        "doc_id", text.alias("text")
+    )
+    twins = base.where(F.col("doc_id") < dup_groups).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s\S+$", " wTWIN").alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+def bench_dedup_scale(spark) -> dict:
+    """Dedup family at a timed 100k-doc scale (VERDICT r4 #7): the sf0.1
+    suite times minhash/jaccard on only ~500 docs — quadratic candidate
+    blowups would stay invisible until a user's 100 TB. This leg runs
+    the library operators on a 100k-doc synthetic corpus with 1k planted
+    near-dup twins and logs candidate-pair counts per doc, so candidate
+    growth is a committed NUMBER round-over-round."""
+    from weaver_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_resolve,
+    )
+
+    n = int(os.environ.get("WEAVER_DEDUP_SCALE_DOCS", "100000"))
+    dups = max(1, n // 100)
+    docs = synth_docs(spark, n, dup_groups=dups).persist()
+    total = docs.count()
+    out: dict = {"docs": total, "planted_pairs": dups}
+
+    t0 = time.perf_counter()
+    mh = dedup_minhash_lsh(docs, "doc_id", "text", num_hashes=16, bands=4)
+    n_mh = mh.count()
+    out["minhash_lsh"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "pairs": n_mh,
+        "pairs_per_doc": round(n_mh / total, 4),
+    }
+
+    t0 = time.perf_counter()
+    # persist: the pair relation feeds both its own count and the
+    # resolve stage below — without the pin, resolve re-runs the whole
+    # candidate+verify pipeline inside its first iteration
+    jc = dedup_ngram_jaccard(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8
+    ).persist()
+    n_jc = jc.count()
+    out["ngram_jaccard"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "pairs": n_jc,
+        "pairs_per_doc": round(n_jc / total, 4),
+    }
+
+    # resolution on top of the verified pairs (the round-5 operator):
+    # clusters + canonical selection timed at the same scale
+    t0 = time.perf_counter()
+    n_members = dedup_resolve(jc, "id_a", "id_b").count()
+    out["resolve"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "cluster_members": n_members,
+    }
+    jc.unpersist()
+    docs.unpersist()
+    return out
 
 
 def run_single(crawl_only: bool) -> dict:
@@ -232,13 +342,23 @@ def run_single(crawl_only: bool) -> dict:
     out["crawl"] = crawl
     qtimes: dict[str, float] = {}
     if not crawl_only:
-        out["deep_crawl"] = bench_deep_crawl(spark)
+        out["deep_crawl"] = bench_deep_crawl(spark, capture_marks=True)
+        # query loop runs BEFORE the round-5 heavy legs so per-query
+        # times stay comparable to earlier rounds' conditions
         qtimes = bench_queries(spark)
+        # 4x leaves, same waves: per-URL rate recovers as rounds grow —
+        # the fixed-work amortization witness (fixed work is per ROUND)
+        out["deep_crawl_x4"] = bench_deep_crawl(spark, leaves_per_root=1200)
+        out["dedup_scale"] = bench_dedup_scale(spark)
     out["queries"] = qtimes
     total = round(
         sum(qtimes.values())
         + crawl["seconds"]
-        + out.get("deep_crawl", {}).get("seconds", 0.0),
+        + out.get("deep_crawl", {}).get("seconds", 0.0)
+        + out.get("deep_crawl_x4", {}).get("seconds", 0.0)
+        + out.get("dedup_scale", {}).get("minhash_lsh", {}).get("seconds", 0.0)
+        + out.get("dedup_scale", {}).get("ngram_jaccard", {}).get("seconds", 0.0)
+        + out.get("dedup_scale", {}).get("resolve", {}).get("seconds", 0.0),
         3,
     )
     out.update(

@@ -1293,6 +1293,7 @@ class CrawlEngine:
         # ---- discovered links -> new frontier rows (FIFO seq assignment)
         new_rows = None
         seq_pin = None
+        typed = None
         if agg["n_links"] or n_retries:
             typed = None
             if agg["n_links"]:
@@ -1326,6 +1327,13 @@ class CrawlEngine:
                 ).withColumn("attempt", F.lit(0))
             if retry_rows is not None:
                 typed = retry_rows if typed is None else typed.unionByName(retry_rows)
+            # pin the links pipeline ONCE: dense_seq's range repartition
+            # executes its input twice (boundary sampling + the shuffle
+            # write), and this input carries the canonicalize pandas UDF
+            # — without the pin the UDF pass runs 2x per round (measured
+            # 24% of deep-crawl wall in dense_seq, BENCH/deep_stage_
+            # marks.txt). O(round links) memory, same order as seq_pin.
+            typed = typed.persist()
             with_seq, seq_pin = dense_seq(
                 typed, ["parent_seq", "link_pos"], start=max_seq + 1
             )
@@ -1377,6 +1385,8 @@ class CrawlEngine:
         )
         if seq_pin is not None:
             seq_pin.unpersist()
+        if typed is not None:
+            typed.unpersist()
         if retry_rows is not None:
             retry_rows.unpersist()
         # carry the next round's head scalars: every batch row left the
