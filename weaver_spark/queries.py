@@ -682,24 +682,13 @@ WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
 """
 
 
-def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup CLUSTER RESOLUTION — the step after candidate pairs
-    that every dedup tier feeds (operators/dedup.connected_components:
-    alternating large-star/small-star min-id propagation, O(log n)
-    keyed self-join rounds, no driver state): pairs -> (doc_id,
-    canonical_id, cluster_size), canonical = min id in the component —
-    the same min-id-wins rule as dedup_exact, so `keep doc_id ==
-    canonical_id` IS the dedup decision.
-
-    Pair graph = the real ngram-Jaccard near-dup pairs (>= 0.8) UNION
-    deterministic planted 3-node chains over doc_id anchors 400..490 —
-    chains are the adversarial case for naive one-hop propagation
-    (min reaches the tail only through iteration) and give the
-    resolver multiple components to keep separate. The DuckDB oracle
-    computes the identical components via a recursive CTE (transitive
-    closure + min per node)."""
-    from .operators.dedup import dedup_resolve
-
+def _clusters_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared pair graph for the cluster-resolution queries: real
+    ngram-Jaccard near-dup pairs (>= 0.8) UNION deterministic planted
+    3-node chains over doc_id anchors 400..490 — chains are the
+    adversarial case for naive one-hop propagation (min reaches the
+    tail only through iteration) and give the resolver multiple
+    components to keep separate."""
     pairs = ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
     d = _t(spark, sf, "documents")
     anchors = d.select("doc_id").where(
@@ -713,16 +702,34 @@ def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") + 6).alias("doc_b"),
         )
     )
-    res = dedup_resolve(pairs.unionByName(chains), "doc_a", "doc_b")
+    return pairs.unionByName(chains)
+
+
+def neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the step after candidate pairs
+    that every dedup tier feeds (operators/dedup.connected_components:
+    alternating large-star/small-star min-id propagation, O(log n)
+    keyed self-join rounds, no driver state): pairs -> (doc_id,
+    canonical_id, cluster_size), canonical = min id in the component —
+    the same min-id-wins rule as dedup_exact, so `keep doc_id ==
+    canonical_id` IS the dedup decision.
+
+    Pair graph = `_clusters_pair_graph` (real jaccard pairs + planted
+    chains). The DuckDB oracle computes the identical components via a
+    recursive CTE (transitive closure + min per node)."""
+    from .operators.dedup import dedup_resolve
+
+    res = dedup_resolve(_clusters_pair_graph(spark, sf), "doc_a", "doc_b")
     sizes = res.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
     return res.join(sizes, "canonical_id").select(
         "doc_id", "canonical_id", "cluster_size"
     )
 
 
-# the oracle reuses the exact JACCARD_SQL pair definition, then resolves
+# the recursive-closure CTE body shared by the clusters and keep oracles:
+# the exact JACCARD_SQL pair definition + planted chains, resolved to
 # components by recursive transitive closure (min reachable id per node)
-NEARDUP_CLUSTERS_SQL = """
+_CANON_CTE = """
 WITH RECURSIVE tok0 AS (
   SELECT DISTINCT doc_id, t.tok FROM documents,
     UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)),
@@ -758,10 +765,88 @@ reach (node, r) AS (
 canon AS (
   SELECT node AS doc_id, LEAST(node, MIN(r)) AS canonical_id
   FROM reach GROUP BY node)
+"""
+
+NEARDUP_CLUSTERS_SQL = (
+    _CANON_CTE
+    + """
 SELECT c.doc_id, c.canonical_id, s.cluster_size
 FROM canon c JOIN (
   SELECT canonical_id, COUNT(*) AS cluster_size
   FROM canon GROUP BY canonical_id) s USING (canonical_id)
+"""
+)
+
+
+def neardup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup DECISION on top of cluster resolution: keep exactly the
+    canonical (min-id) member of each near-dup cluster plus every
+    untouched doc — `operators/dedup.dedup_keep` over the same pair
+    graph as neardup_clusters. This is the row-level 'drop the
+    duplicates' output a training pipeline consumes."""
+    from .operators.dedup import dedup_keep
+
+    d = _t(spark, sf, "documents")
+    pairs = _clusters_pair_graph(spark, sf).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return dedup_keep(d, "doc_id", pairs).select("doc_id", "n_chars")
+
+
+NEARDUP_KEEP_SQL = (
+    _CANON_CTE
+    + """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM canon WHERE doc_id <> canonical_id)
+"""
+)
+
+
+def phash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The IMAGE-tier near-dup detector (operators/dedup.
+    dedup_phash_hamming: 64-bit pigeonhole banding + bit_count verify)
+    under an oracle: the documents table has no phash column, so the
+    query derives a deterministic 60-bit stand-in (md5 prefix — the
+    same value DuckDB computes) and plants a 3-bit-flip twin for each
+    doc_id < 40 (hamming 3, inside the radius); the detector must
+    recover exactly the planted pairs with their distances and no false
+    positives. Identical banding math on both sides (7 bands x 9 bits
+    over the 64-bit space)."""
+    from .operators.dedup import dedup_phash_hamming
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    planted = base.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(41)).alias("phash"),  # 3 bits flip
+    )
+    allp = base.unionByName(planted)
+    return dedup_phash_hamming(allp, "doc_id", "phash", max_hamming=6)
+
+
+PHASH_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+  FROM documents),
+planted AS (
+  SELECT doc_id + 100000 AS doc_id, xor(phash, 41::BIGINT) AS phash
+  FROM base WHERE doc_id < 40),
+allp AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+bands AS (
+  SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 9)) & 511 AS bkey
+  FROM allp, (SELECT UNNEST(range(7)) AS b) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 6
 """
 
 
@@ -1057,6 +1142,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash16": (simhash16, SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, JACCARD_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "neardup_keep": (neardup_keep, NEARDUP_KEEP_SQL),
+    "phash_neardup_pairs": (phash_neardup_pairs, PHASH_PAIRS_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, COSINE_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "ann_ivf_topk": (ann_ivf_topk, IVF_SQL),
