@@ -48,6 +48,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--http", action="store_true", help="real HTTP fetcher")
     p.add_argument("--robots", action="store_true",
                    help="live robots.txt cache + enforcement (scale mode)")
+    p.add_argument("--robots-agent", default=None, metavar="TOKEN",
+                   help="crawler product token for RFC 9309 group"
+                        " matching (most-specific User-agent group wins;"
+                        " default: wildcard groups only)")
     p.add_argument("--host-budget", type=int, default=None)
     p.add_argument("--seen-filter", choices=["exact", "bloom", "cuckoo"],
                    default="exact", help="payload-key dedup prefilter")
@@ -116,7 +120,10 @@ def main(argv: list[str] | None = None) -> None:
         if args.classify_rules:
             eng.set_url_classifier(args.classify_rules)
         if args.robots:
-            eng.enable_auto_robots(max_concurrency=args.max_concurrency)
+            kw = {"max_concurrency": args.max_concurrency}
+            if args.robots_agent:
+                kw["agent"] = args.robots_agent
+            eng.enable_auto_robots(**kw)
         seeds, types = [], []
         with open(args.seeds) as f:
             for line in f:
