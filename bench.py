@@ -286,10 +286,13 @@ def bench_dedup_scale(spark) -> dict:
     near-dup twins and logs candidate-pair counts per doc, so candidate
     growth is a committed NUMBER round-over-round."""
     from weaver_spark.operators.dedup import (
+        _minhash_sigs,
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
         dedup_resolve,
+        overcap_buckets,
     )
+    from pyspark.sql import functions as F
 
     n = int(os.environ.get("WEAVER_DEDUP_SCALE_DOCS", "100000"))
     dups = max(1, n // 100)
@@ -298,13 +301,38 @@ def bench_dedup_scale(spark) -> dict:
     out: dict = {"docs": total, "planted_pairs": dups}
 
     t0 = time.perf_counter()
-    mh = dedup_minhash_lsh(docs, "doc_id", "text", num_hashes=16, bands=4)
+    mh = dedup_minhash_lsh(
+        docs, "doc_id", "text", num_hashes=16, bands=4, max_bucket=500
+    )
     n_mh = mh.count()
     out["minhash_lsh"] = {
         "seconds": round(time.perf_counter() - t0, 3),
         "pairs": n_mh,
         "pairs_per_doc": round(n_mh / total, 4),
     }
+
+    # bucket-size profile (VERDICT r5 #2): the capped join's blind spot
+    # is a silently dropped bucket — log p100 bucket size and the count
+    # of buckets the cap dropped, so a boilerplate-heavy corpus shows up
+    # as a committed NUMBER instead of a vanished pair set.
+    sigs = _minhash_sigs(docs, "doc_id", "text", 16, 3)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias("bkey"),
+        )
+        for b in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    prof = buckets.groupBy("band", "bkey").agg(F.count("*").alias("sz")).agg(
+        F.max("sz").alias("p100"), F.count("*").alias("n_buckets")
+    ).collect()[0]
+    out["minhash_lsh"]["bucket_p100"] = prof["p100"]
+    out["minhash_lsh"]["buckets_dropped_at_cap500"] = overcap_buckets(
+        buckets, 500
+    ).count()
 
     t0 = time.perf_counter()
     # persist: the pair relation feeds both its own count and the

@@ -26,6 +26,20 @@ band width (minhash), hamming radius (simhash), or a candidate prefilter
 (jaccard uses rare-shingle blocking at scale — the `max_df` knob drops
 shingles present in more than a fraction of docs, the standard trick to
 keep candidate generation near-linear).
+
+Bucket-size cap: a banded self-join emits O(|bucket|^2) pairs per
+(band, bkey) bucket, and on a boilerplate-heavy web corpus (templated
+pages, near-identical signatures) a single band key can hold 1e5-1e7
+docs — AQE skew-join splits the *input* partition but cannot shrink a
+quadratic *output*. Every banded operator here therefore takes
+``max_bucket`` (default 500): buckets larger than that are DROPPED
+deterministically before the join. This is safe by design — an
+over-cap bucket means (nearly) identical signatures, which is
+exact-dup-shaped content that ``dedup_exact`` is the intended
+pre-collapse companion for; run it first so near-identical mass never
+reaches the LSH stage. Use ``overcap_buckets`` to observe what a cap
+would drop (count + coverage) — bench's dedup_scale leg logs bucket
+p100 and the dropped-bucket count per run.
 """
 
 from __future__ import annotations
@@ -42,6 +56,39 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     w = df.withColumn("_fp", fp)
     keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return w.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+
+
+def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, bkey) buckets with more than ``max_bucket`` members.
+
+    Deterministic whole-bucket drop (never a sample): the pair output
+    stays reproducible and the semantics are crisp — "signatures this
+    common carry no near-dup evidence beyond exact-dup, which
+    ``dedup_exact`` already handles". Plan shape: one keyed groupBy
+    (linear, map-side partial agg) + a left_semi join on the SAME
+    (band, bkey) key the pair self-join shuffles on, so the cap reuses
+    the join's partitioning instead of adding an extra shuffle stage."""
+    if max_bucket is None:
+        return buckets
+    ok = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket)
+        .select("band", "bkey")
+    )
+    return buckets.join(ok, ["band", "bkey"], "left_semi")
+
+
+def overcap_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Diagnostic: (band, bkey, bucket_size) for every bucket a
+    ``max_bucket`` cap would drop. Callers log ``.count()`` (dropped
+    buckets) and ``agg(max(bucket_size))`` (p100) next to the capped
+    run; bench_dedup_scale does exactly that."""
+    return (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
 
 
 def _minhash_sigs(
@@ -66,11 +113,14 @@ def dedup_minhash_lsh(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs colliding in >=1 LSH band.
 
     bands * rows_per_band == num_hashes; with 16 hashes in 4 bands the
-    collision threshold is ~ (1/bands)^(1/rows) ~ 0.7 Jaccard."""
+    collision threshold is ~ (1/bands)^(1/rows) ~ 0.7 Jaccard.
+    ``max_bucket`` drops over-cap band buckets (see module docstring);
+    run ``dedup_exact`` first so identical content never lands here."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_n)
@@ -88,6 +138,7 @@ def dedup_minhash_lsh(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = _cap_buckets(buckets, max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -106,14 +157,20 @@ def dedup_minhash_lsh(
 
 
 def dedup_simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = 500,
 ) -> tuple[DataFrame, DataFrame]:
     """(signatures, candidate_pairs): SimHash + banded hamming blocking.
 
     Signature: per-bit majority over token hashes. Candidates: split the
     signature into (max_hamming+1) bands — any pair within the hamming
     radius must agree exactly on >=1 band (pigeonhole), so a per-band
-    equality self-join finds all of them; verify with bit_count."""
+    equality self-join finds all of them; verify with bit_count.
+    ``max_bucket`` drops over-cap band buckets (module docstring)."""
     tok = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t"))
     h = tok.withColumn("h", F.xxhash64("t"))
     bit_sums = [
@@ -144,6 +201,7 @@ def dedup_simhash(
     buckets = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = _cap_buckets(buckets, max_bucket)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -317,7 +375,9 @@ def dedup_keep(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """The 'drop the duplicates' step: keep only canonical docs — rows
     whose id never appears as a non-canonical member of a near-dup
     cluster. The resolved loser set is O(duplicates) and anti-joined
-    against the corpus (broadcast-sized in real corpora: dup rate << 1)."""
+    against the corpus with left_anti and NO broadcast hint — web-crawl
+    dup rates of 30-50% are routine, so the loser side is often NOT
+    broadcast-sized; AQE picks SMJ vs broadcast from the measured size."""
     losers = (
         dedup_resolve(pairs)
         .where(F.col("doc_id") != F.col("canonical_id"))
@@ -327,11 +387,18 @@ def dedup_keep(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
 
 
 def dedup_phash_hamming(
-    df: DataFrame, id_col: str, phash_col: str = "phash", max_hamming: int = 6
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
     the multimodal dedup the crawl engine's images table feeds. Same
-    pigeonhole banding as dedup_simhash over the 64-bit phash."""
+    pigeonhole banding as dedup_simhash over the 64-bit phash;
+    ``max_bucket`` drops over-cap band buckets (module docstring) —
+    flat-color/logo images collapse to a handful of phash values at
+    web scale and would otherwise emit quadratic pairs."""
     bits, n_bands = 64, max_hamming + 1
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
@@ -347,6 +414,7 @@ def dedup_phash_hamming(
     buckets = df.select(
         F.col(id_col), F.col(phash_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, phash_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = _cap_buckets(buckets, max_bucket)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}")))
     return (

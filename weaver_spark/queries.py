@@ -546,25 +546,32 @@ FROM tok GROUP BY doc_id
 
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH banding: candidate pairs colliding on band (m1,m2) or (m3,m4)
-    — the band->bucket-join stage of MinHash-LSH dedup."""
+    — the band->bucket-join stage of MinHash-LSH dedup, with the
+    bucket-size cap every banded self-join needs at scale (buckets
+    holding > 100 docs are dropped before the join — over-cap buckets
+    are exact-dup-shaped and would emit O(|bucket|^2) pairs; same rule
+    as operators/dedup._cap_buckets, mirrored in the oracle's HAVING)."""
     # persist: sig feeds four self-join scan legs — without the pin the
     # tokenize+distinct+groupBy pipeline would execute up to 4x
     sig = minhash_signatures(spark, sf).persist()
-    a = sig.alias("a")
-    b = sig.alias("b")
-    band1 = a.join(
-        b,
-        (F.col("a.m1") == F.col("b.m1"))
-        & (F.col("a.m2") == F.col("b.m2"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    band2 = a.join(
-        b,
-        (F.col("a.m3") == F.col("b.m3"))
-        & (F.col("a.m4") == F.col("b.m4"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return band1.union(band2).distinct()
+
+    def _band(cols: tuple[str, str]) -> DataFrame:
+        ok = (
+            sig.groupBy(*cols)
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") <= 100)
+            .select(*cols)
+        )
+        s = sig.join(ok, list(cols), "left_semi")
+        a, b = s.alias("a"), s.alias("b")
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+    return _band(("m1", "m2")).union(_band(("m3", "m4"))).distinct()
 
 
 MINHASH_PAIRS_SQL = """
@@ -575,13 +582,17 @@ sig AS (
   SELECT doc_id,
     MIN(md5('s1|' || tok)) AS m1, MIN(md5('s2|' || tok)) AS m2,
     MIN(md5('s3|' || tok)) AS m3, MIN(md5('s4|' || tok)) AS m4
-  FROM tok GROUP BY doc_id)
+  FROM tok GROUP BY doc_id),
+ok1 AS (SELECT m1, m2 FROM sig GROUP BY m1, m2 HAVING COUNT(*) <= 100),
+ok2 AS (SELECT m3, m4 FROM sig GROUP BY m3, m4 HAVING COUNT(*) <= 100)
 SELECT DISTINCT doc_a, doc_b FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
     ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id
+    JOIN ok1 ON a.m1 = ok1.m1 AND a.m2 = ok1.m2
   UNION ALL
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-    ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id)
+    ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id
+    JOIN ok2 ON a.m3 = ok2.m3 AND a.m4 = ok2.m4)
 """
 
 
@@ -811,7 +822,9 @@ def phash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     doc_id < 40 (hamming 3, inside the radius); the detector must
     recover exactly the planted pairs with their distances and no false
     positives. Identical banding math on both sides (7 bands x 9 bits
-    over the 64-bit space)."""
+    over the 64-bit space), including the bucket-size cap (500) the
+    library operator applies before its self-join — mirrored in the
+    oracle's HAVING over the bands CTE."""
     from .operators.dedup import dedup_phash_hamming
 
     d = _t(spark, sf, "documents")
@@ -826,7 +839,7 @@ def phash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("phash").bitwiseXOR(F.lit(41)).alias("phash"),  # 3 bits flip
     )
     allp = base.unionByName(planted)
-    return dedup_phash_hamming(allp, "doc_id", "phash", max_hamming=6)
+    return dedup_phash_hamming(allp, "doc_id", "phash", max_hamming=6, max_bucket=500)
 
 
 PHASH_PAIRS_SQL = """
@@ -840,11 +853,13 @@ allp AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 bands AS (
   SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 9)) & 511 AS bkey
   FROM allp, (SELECT UNNEST(range(7)) AS b) b),
+okb AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 500),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
     a.phash AS pa, b.phash AS pb
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN okb ON a.band = okb.band AND a.bkey = okb.bkey)
 SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
 FROM cand WHERE bit_count(xor(pa, pb)) <= 6
 """
