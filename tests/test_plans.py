@@ -69,7 +69,7 @@ def test_robots_enforcement_is_map_side(spark):
         F.format_string("h%d.test", F.col("id") % 4).alias("host"),
     )
     robots = spark.createDataFrame(
-        [("h1.test", ["/item/"], 0, None), ("h0.test", [], 2000, None)],
+        [("h1.test", ["/item/"], 0, None, None), ("h0.test", [], 2000, None, None)],
         ROBOTS_SCHEMA,
     )
     allowed, blocked = apply_robots(pending, robots)

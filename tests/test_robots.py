@@ -143,7 +143,10 @@ def test_apply_robots_allow_overrides(spark):
         "url string, host string",
     )
     robots = spark.createDataFrame(
-        [("h1.test", ["/item/"], 0, ["/item/pub/"]), ("h2.test", ["/item/"], 0, None)],
+        [
+            ("h1.test", ["/item/"], 0, ["/item/pub/"], None),
+            ("h2.test", ["/item/"], 0, None, None),
+        ],
         ROBOTS_SCHEMA,
     )
     allowed, blocked = apply_robots(pending, robots)

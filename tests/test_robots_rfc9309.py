@@ -38,8 +38,20 @@ def test_most_specific_group_wins():
     assert dis == ["/mega/"] and delay == 2000 and alw == []
 
 
-def test_shorter_specific_token_when_longer_does_not_match():
+def test_prefix_needs_word_boundary():
+    # 'mega' must NOT capture 'megacrawler' (alphanumeric continuation):
+    # the product falls through to the wildcard group. A one-letter
+    # token can never capture every bot sharing its initial.
     dis, delay, alw = parse_robots_txt(TXT, agent="megacrawler")
+    assert dis == ["/all/"] and delay == 1000
+    txt = "User-agent: b\nDisallow: /b/\n\nUser-agent: *\nDisallow: /w/\n"
+    assert parse_robots_txt(txt, agent="bingbot")[0] == ["/w/"]
+
+
+def test_shorter_specific_token_matches_at_boundary():
+    # 'mega' DOES govern 'mega-images/1.0' (separator boundary) when no
+    # longer token matches
+    dis, delay, alw = parse_robots_txt(TXT, agent="mega-images")
     assert dis == ["/m/"] and delay == 0
 
 
@@ -107,7 +119,7 @@ def test_robots_body_read_is_capped():
     head = b"User-agent: *\nDisallow: /blocked/\n"
     body = head + b"# padding line of some length 0123456789\n" * 200_000  # ~8 MB
     resp = _Resp(body)
-    host, dis, delay, alw = _fetch_one_robots(
+    host, dis, delay, alw, _sm = _fetch_one_robots(
         "h.test", "http://h.test", 5.0, lambda url, t: resp
     )
     assert dis == ["/blocked/"]
@@ -120,17 +132,31 @@ def test_truncation_drops_partial_last_line():
     filler = b"# x\n" * ((ROBOTS_MAX_BODY_BYTES - 20) // 4)
     body = b"User-agent: *\n" + filler + b"Disallow: /private-stuff-very-long/\n"
     resp = _Resp(body)
-    _, dis, _, _ = _fetch_one_robots(
+    _, dis, _, _, _ = _fetch_one_robots(
         "h.test", "http://h.test", 5.0, lambda url, t: resp
     )
     # the split line is dropped entirely, not parsed as a prefix of itself
     assert all(p == "/private-stuff-very-long/" for p in dis)
 
 
+def test_body_exactly_at_cap_is_not_truncated():
+    """A robots.txt of exactly the cap size is COMPLETE: its final line
+    must parse (the old >= check dropped it — ADVICE r5)."""
+    rule = b"Disallow: /exact-cap-rule/\n"
+    pad = ROBOTS_MAX_BODY_BYTES - len(b"User-agent: *\n") - len(rule)
+    body = b"User-agent: *\n" + b"#" * (pad - 1) + b"\n" + rule
+    assert len(body) == ROBOTS_MAX_BODY_BYTES
+    resp = _Resp(body)
+    _, dis, _, _, _ = _fetch_one_robots(
+        "h.test", "http://h.test", 5.0, lambda url, t: resp
+    )
+    assert dis == ["/exact-cap-rule/"]
+
+
 def test_fetch_one_passes_agent_through():
     body = TXT.encode()
     resp = _Resp(body)
-    _, dis, delay, _ = _fetch_one_robots(
+    _, dis, delay, _, _ = _fetch_one_robots(
         "h.test", "http://h.test", 5.0, lambda url, t: resp, agent="megabot"
     )
     assert dis == ["/mega/"] and delay == 2000
@@ -139,7 +165,7 @@ def test_fetch_one_passes_agent_through():
 def test_non_200_and_error_mean_no_restrictions():
     assert _fetch_one_robots(
         "h.test", "http://h.test", 5.0, lambda url, t: _Resp(b"", status=404)
-    ) == ("h.test", [], 0, [])
+    ) == ("h.test", [], 0, [], [])
 
     def boom(url, t):
         raise OSError("refused")
@@ -149,4 +175,27 @@ def test_non_200_and_error_mean_no_restrictions():
         [],
         0,
         [],
+        [],
     )
+
+
+def test_sitemap_lines_are_global_and_deduped():
+    from weaver_spark.operators.robots import parse_robots_sitemaps
+
+    txt = (
+        "Sitemap: https://h.test/sm-top.xml\n"
+        "User-agent: megabot\nDisallow: /m/\n"
+        "Sitemap: https://h.test/sm-a.xml.gz\n"
+        "User-agent: *\nDisallow: /x/\n"
+        "sitemap: https://h.test/sm-top.xml\n"  # dup, case-insensitive key
+    )
+    assert parse_robots_sitemaps(txt) == [
+        "https://h.test/sm-top.xml",
+        "https://h.test/sm-a.xml.gz",
+    ]
+    # and the fetch path carries them through regardless of agent group
+    resp = _Resp(txt.encode())
+    _, _, _, _, sm = _fetch_one_robots(
+        "h.test", "http://h.test", 5.0, lambda url, t: resp, agent="megabot"
+    )
+    assert sm == ["https://h.test/sm-top.xml", "https://h.test/sm-a.xml.gz"]

@@ -194,6 +194,10 @@ class CrawlEngine:
         self.web_pages: DataFrame | None = None
         self.robots_df: DataFrame | None = None
         self._auto_robots: dict | None = None  # enable_auto_robots kwargs
+        # conditional-recrawl state (recrawl()): validator rows joined
+        # onto the fetch input, and the stale keys detected so far
+        self._recrawl_conds: DataFrame | None = None
+        self._recrawl_stale: list[str] = []
         self.round_time_budget_ms = round_time_budget_ms
         self._fetch_fn = make_synthetic_fetch_fn(k_cap, seed)
         self._next_round: int | None = None  # cached current_round()
@@ -280,14 +284,15 @@ class CrawlEngine:
     def set_robots(self, rows_or_df) -> None:
         """Install the per-host robots cache (enforced in scale mode as a
         broadcast join at schedule time; see operators/robots.py).
-        3-tuple rows / 3-column DataFrames (pre-Allow callers) are
-        normalized to the 4-column ROBOTS_SCHEMA with null
-        allow_prefixes."""
+        Short rows / DataFrames from pre-upgrade callers (3 cols before
+        Allow, 4 before sitemaps) are normalized to ROBOTS_SCHEMA with
+        nulls in the missing trailing columns."""
         if isinstance(rows_or_df, DataFrame):
-            if "allow_prefixes" not in rows_or_df.columns:
-                rows_or_df = rows_or_df.withColumn(
-                    "allow_prefixes", F.lit(None).cast("array<string>")
-                )
+            for c in ("allow_prefixes", "sitemaps"):
+                if c not in rows_or_df.columns:
+                    rows_or_df = rows_or_df.withColumn(
+                        c, F.lit(None).cast("array<string>")
+                    )
             self.robots_df = rows_or_df
         else:
             rows = [
@@ -454,6 +459,152 @@ class CrawlEngine:
             F.lit(ucid).cast("long").alias("update_seq"),
         )
         return self.frontier.append(seeded, meta={"op": "seed", "n": len(urls)})
+
+    # -- conditional recrawl (freshness; upgrade beyond the reference's
+    # build-once frontier) ------------------------------------------------
+
+    def _images_validators_schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return StructType(
+            [
+                IMAGES_SCHEMA["image_id"],
+                StructField("enqueue_seq", LongType(), True),
+                StructField("etag", StringType(), True),
+                StructField("last_modified", StringType(), True),
+            ]
+        )
+
+    def recrawl(self, urls: list[str] | None = None) -> int:
+        """Re-enqueue stored payload URLs as CONDITIONAL fetches: each
+        carries the ETag / Last-Modified validators captured when its
+        payload was stored (read schema-on-read from the adopted stage
+        files; pre-upgrade rows read null validators and fetch
+        unconditionally). A 304 answer keeps the stored payload and
+        counts in the round's ``revalidated`` stat; a 200 answer marks
+        the key stale (``stale`` stat + ``refresh_stale()``); the
+        re-fetch never duplicates a payload row — recrawl rows are
+        seen-set members, so the store path skips them by construction.
+
+        ``urls=None`` recrawls every alive stored key. The URL list is
+        driver-side like ``seed_urls`` (the reference client seeds
+        explicitly); a full-corpus refresh at 10^10 scale iterates this
+        in key-range batches — each call is one list, one frontier
+        commit. HTTP mode only."""
+        if self.web_pages is not None:
+            raise ValueError("recrawl() is an HTTP-mode operation")
+        spark = self.spark
+        if not self.images.last_commit():
+            return 0
+        vals = self._alive_after_purge(
+            self.images.read(spark, schema=self._images_validators_schema())
+        )
+        # one validator per key: the latest stored generation's headers
+        latest = vals.groupBy("image_id").agg(
+            F.expr("max_by(etag, enqueue_seq)").alias("_etag"),
+            F.expr("max_by(last_modified, enqueue_seq)").alias("_last_modified"),
+        )
+        sel = latest.select(F.col("image_id").alias("url"), "_etag", "_last_modified")
+        if urls is not None:
+            canon = list(canonicalize_series(pd.Series(urls)))
+            want = spark.createDataFrame([(u,) for u in canon], "url string")
+            sel = sel.join(F.broadcast(want), "url", "left_semi")
+        conds = sel.persist()
+        targets = [r["url"] for r in conds.select("url").collect()]
+        if not targets:
+            conds.unpersist()
+            return 0
+        if self._recrawl_conds is not None:
+            self._recrawl_conds.unpersist()
+        self._recrawl_conds = conds
+        self._recrawl_stale = []  # each recrawl session detects afresh
+        self.seed_urls(targets, url_types=["leaf"] * len(targets))
+        return len(targets)
+
+    def ingest_sitemaps(
+        self,
+        hosts: list[str] | None = None,
+        distributed: bool = False,
+        **fetch_kwargs,
+    ) -> int:
+        """Seed the frontier from robots-advertised sitemaps: every
+        ``Sitemap:`` URL in the robots cache (optionally restricted to
+        ``hosts``) is fetched and its tree expanded
+        (operators/sitemaps.py — sitemap-index recursion, gzip-aware,
+        bounded on every axis), and the page URLs enqueue as typed
+        seeds through the normal frontier path (the URL classifier
+        types them; unmatched URLs are leaves).
+
+        Idempotent: candidates are anti-joined against the frontier's
+        known URLs before seeding, so re-running after a partial crawl
+        only adds genuinely new pages. ``distributed=True`` expands
+        trees executor-side (``fetch_sitemap_urls_df``) for host
+        cardinalities beyond the driver; the seed list itself is
+        driver-side either way (same contract as ``seed_urls``)."""
+        from .operators.sitemaps import fetch_sitemap_urls, fetch_sitemap_urls_df
+
+        if self.robots_df is None or "sitemaps" not in self.robots_df.columns:
+            return 0
+        sm = self.robots_df.where(
+            F.col("sitemaps").isNotNull() & (F.size("sitemaps") > 0)
+        ).select("host", F.explode("sitemaps").alias("sitemap"))
+        if hosts is not None:
+            want = self.spark.createDataFrame([(h,) for h in hosts], "host string")
+            sm = sm.join(F.broadcast(want), "host", "left_semi")
+        if distributed:
+            pages = [
+                r["url"]
+                for r in fetch_sitemap_urls_df(sm, **fetch_kwargs).collect()
+            ]
+        else:
+            roots = [r["sitemap"] for r in sm.collect()]
+            if not roots:
+                return 0
+            pages = fetch_sitemap_urls(roots, **fetch_kwargs)
+        if not pages:
+            return 0
+        canon = list(dict.fromkeys(canonicalize_series(pd.Series(pages))))
+        cand = self.spark.createDataFrame(
+            list(enumerate(canon)), "idx long, url string"
+        )
+        if self.frontier.last_commit():
+            cand = cand.join(
+                self.frontier.read(self.spark).select("url"), "url", "left_anti"
+            )
+        typed = cand.withColumn(
+            "kind", F.coalesce(self._classify_expr(F.col("url")), F.lit("leaf"))
+        )
+        # sitemap document order is the seed order (deterministic
+        # enqueue_seq assignment — FIFO parity like any other seed list)
+        rows = typed.orderBy("idx").collect()
+        if not rows:
+            return 0
+        self.seed_urls(
+            [r["url"] for r in rows], url_types=[r["kind"] for r in rows]
+        )
+        return len(rows)
+
+    def refresh_stale(self) -> int:
+        """The refresh half of recrawl, composed from existing
+        primitives: purge the stale generation (tombstone — the liveness
+        rule hides it everywhere at once) and re-enqueue the keys as
+        plain fetches; the re-store rides a fresh enqueue_seq past the
+        purge watermark, so gather serves exactly one (new) generation
+        per key — no duplicate payload rows at any point."""
+        stale = list(self._recrawl_stale)
+        if not stale:
+            return 0
+        self.purge_images(stale)
+        # purged keys fetch unconditionally (their validators died with
+        # the purged generation)
+        if self._recrawl_conds is not None:
+            dead = self.spark.createDataFrame([(u,) for u in stale], "url string")
+            self._recrawl_conds = self._recrawl_conds.join(
+                F.broadcast(dead), "url", "left_anti"
+            )
+        self.seed_urls(stale, url_types=["leaf"] * len(stale))
+        self._recrawl_stale = []
+        return len(stale)
 
     def _frontier_state(self) -> DataFrame:
         """Current frontier rows + migration shim: a warehouse written
@@ -731,7 +882,13 @@ class CrawlEngine:
         spark = self.spark
         keys = spark.read.schema(self._images_keys_schema()).parquet(p_dir)
         firsts = topk_per_group(keys, ["image_id"], ["enqueue_seq"], 1)
-        winners = antijoin_exact(firsts, seen_keys, "image_id").persist()
+        # the candidate-liveness rule applies to FINAL keys too: a fetch
+        # that redirects into a purged key at-or-before the purge
+        # watermark must not be adopted (it would be a permanently-
+        # invisible row whose key still poisons the seen filter)
+        winners = self._alive_after_purge(
+            antijoin_exact(firsts, seen_keys, "image_id")
+        ).persist()
         n_keep = winners.count()
         total = keys.count()
         if n_keep == total:
@@ -748,6 +905,10 @@ class CrawlEngine:
             )
             .withColumn("_keep", F.coalesce(F.col("_w"), F.lit(False)))
             .drop("_w")
+            # losers are never stored — only their status/metrics columns
+            # are read downstream, so drop their payload bytes instead of
+            # rewriting them into the _keep=false split
+            .withColumn("bytes", F.when(F.col("_keep"), F.col("bytes")))
             .write.partitionBy("_keep")
             .option("parquet.enable.dictionary", "false")
             .option("parquet.block.size", str(8 * 1024 * 1024))
@@ -946,6 +1107,13 @@ class CrawlEngine:
         else:
             # HTTP mode: no page source — the fetch UDF talks to the web
             fetch_input = batch.select(*in_cols)
+            if self._recrawl_conds is not None:
+                # conditional-recrawl validators ride into the fetch UDF
+                # as If-None-Match / If-Modified-Since inputs; rows
+                # outside the recrawl set join null and fetch normally
+                fetch_input = fetch_input.join(
+                    self._recrawl_conds, "url", "left"
+                )
         # Pre-fetch payload dedup (J1/S6/F8, moved AHEAD of the fetch):
         # payload keys are known before fetching (the page join provides
         # image_id; in the http path the key is the URL itself), so
@@ -1149,6 +1317,11 @@ class CrawlEngine:
             ),
             F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0)).alias("failed"),
             F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+            # 304 Not Modified: a conditional recrawl row whose stored
+            # payload is still fresh (kept; headers-only cost)
+            F.sum(F.when(F.col("status_code") == 304, 1).otherwise(0)).alias(
+                "revalidated"
+            ),
         ).collect()[0]
 
         mark("stats_agg")
@@ -1429,7 +1602,23 @@ class CrawlEngine:
             "failed": agg["failed"] or 0,
             "links": agg["n_links"] or 0,
             "retried": n_retries,
+            "revalidated": agg["revalidated"] or 0,
         }
+        # stale detection (recrawl): a validator-carrying row answering
+        # 200 means the stored payload is outdated. Keys-only collect,
+        # bounded by the changed subset of the recrawl batch; callers
+        # refresh via refresh_stale() (purge + re-enqueue).
+        if self._recrawl_conds is not None:
+            changed = (
+                results.where(F.col("status_code") == 200)
+                .join(self._recrawl_conds.select("url"), "url", "left_semi")
+                .select("url")
+                .collect()
+            )
+            if changed:
+                merged = set(self._recrawl_stale) | {r["url"] for r in changed}
+                self._recrawl_stale = sorted(merged)
+            stats["stale"] = len(changed)
         batch.unpersist()
         state.unpersist()
         if not self.keep_stage:

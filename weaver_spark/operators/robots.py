@@ -132,16 +132,22 @@ def parse_robots_txt(
 
     RFC 9309 group semantics: consecutive User-agent lines open one
     group; rules bind to every agent named in that run. Group selection
-    (RFC 9309 §2.2.1 most-specific match):
+    uses the de-facto (Google-parser-style) MOST-SPECIFIC-PREFIX match
+    with a word-boundary guard — deliberately NOT RFC 9309 §2.2.1's
+    exact product-token match, because real sites write
+    ``User-agent: megabot`` expecting to govern ``megabot-images/1.0``:
 
     - ``agent=None`` (default — a generic bot): only ``User-agent: *``
       groups apply (the pre-RFC behavior; existing callers unchanged).
     - ``agent="mybot"``: the group(s) whose agent token is the LONGEST
-      case-insensitive prefix of the product token win; every group
-      carrying that winning token merges (RFC: multiple groups for one
-      agent combine); if no specific token matches, the ``*`` groups
-      apply. A matched specific group REPLACES the wildcard rules
-      entirely (sites special-case bots by writing a dedicated group).
+      case-insensitive prefix of the product token ENDING AT A WORD
+      BOUNDARY win (``megabot`` matches ``megabot-images``; ``mega``
+      does NOT match ``megacrawler``, and a one-letter token can never
+      capture every bot sharing its initial); every group carrying that
+      winning token merges; if no specific token matches, the ``*``
+      groups apply. A matched specific group REPLACES the wildcard
+      rules entirely (sites special-case bots by writing a dedicated
+      group).
 
     Allow lines are collected separately — precedence against Disallow
     is longest-match-wins (ties to Allow), resolved at enforcement time
@@ -190,25 +196,58 @@ def parse_robots_txt(
                 delay = g["delay"]
         return dis, delay, alw
 
+    def _token_matches(tok: str, product: str) -> bool:
+        # prefix + word boundary: the char after the matched prefix must
+        # not be alphanumeric (end-of-token separators like '-', '/',
+        # ' ' or end of string qualify)
+        if tok == "*" or not product.startswith(tok):
+            return False
+        rest = product[len(tok):]
+        return not rest[:1].isalnum()
+
     best_len = 0
     if agent:
         product = agent.lower()
         for g in groups:
             for a in g["agents"]:
-                if a != "*" and product.startswith(a):
+                if _token_matches(a, product):
                     best_len = max(best_len, len(a))
     if best_len:
         winners = [
             g
             for g in groups
             if any(
-                a != "*" and len(a) == best_len and agent.lower().startswith(a)
+                len(a) == best_len and _token_matches(a, agent.lower())
                 for a in g["agents"]
             )
         ]
     else:
         winners = [g for g in groups if "*" in g["agents"]]
     return _merge(winners)
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` lines from a robots.txt body, order-preserving and
+    deduped. Sitemap records are GLOBAL (they live outside any
+    User-agent group — sitemaps.org protocol; RFC 9309 treats unknown
+    lines as other records), so this is a separate pass independent of
+    group selection. These URLs are the highest-volume legitimate seed
+    source a production frontier has; the engine's
+    ``ingest_sitemaps()`` fetches/parses them (operators/sitemaps.py)
+    and enqueues the <loc> entries as typed seeds."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        if key.strip().lower() == "sitemap":
+            v = val.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
 
 
 # RFC 9309 §2.5: parsers must handle at least 500 kibibytes; everything
@@ -227,12 +266,13 @@ def _fetch_one_robots(
     agent: str | None = None,
     max_body_bytes: int = ROBOTS_MAX_BODY_BYTES,
 ) -> tuple:
-    """(host, disallow_prefixes, crawl_delay_ms, allow_prefixes) for one
-    authority. One shot: an unreachable or 4xx robots.txt means no
-    restrictions (the de-facto standard), never a blocked crawl. The
-    body read is chunk-capped at RFC 9309's 500 KiB; a truncated body is
-    parsed up to its last COMPLETE line — a half-line must never mint a
-    shorter (= broader) Disallow prefix the site didn't write."""
+    """(host, disallow_prefixes, crawl_delay_ms, allow_prefixes,
+    sitemaps) for one authority. One shot: an unreachable or 4xx
+    robots.txt means no restrictions (the de-facto standard), never a
+    blocked crawl. The body read is chunk-capped at RFC 9309's 500 KiB;
+    a truncated body is parsed up to its last COMPLETE line — a
+    half-line must never mint a shorter (= broader) Disallow prefix the
+    site didn't write."""
     import urllib.request
 
     _open = opener or (
@@ -241,7 +281,7 @@ def _fetch_one_robots(
     try:
         with _open(f"{base}/robots.txt", timeout_s) as r:
             if r.status != 200:
-                return (host, [], 0, [])
+                return (host, [], 0, [], [])
             chunks: list[bytes] = []
             total = 0
             truncated = False
@@ -250,7 +290,10 @@ def _fetch_one_robots(
                 if not c:
                     break
                 total += len(c)
-                if total >= max_body_bytes:
+                # STRICTLY past the cap: a body of exactly max_body_bytes
+                # is complete — marking it truncated would drop its final
+                # line and silently widen the crawl
+                if total > max_body_bytes:
                     keep = len(c) - (total - max_body_bytes)
                     chunks.append(c[:keep])
                     truncated = True
@@ -261,9 +304,9 @@ def _fetch_one_robots(
                 raw = raw.rsplit(b"\n", 1)[0]
             body = raw.decode("utf-8", "replace")
     except Exception:
-        return (host, [], 0, [])
+        return (host, [], 0, [], [])
     prefixes, delay_ms, allow = parse_robots_txt(body, agent=agent)
-    return (host, prefixes, delay_ms, allow)
+    return (host, prefixes, delay_ms, allow, parse_robots_sitemaps(body))
 
 
 def fetch_robots_rows(
@@ -275,8 +318,8 @@ def fetch_robots_rows(
     agent: str | None = None,
 ) -> list[tuple]:
     """Fetch + parse ``/robots.txt`` per site into ROBOTS_SCHEMA rows
-    (host, disallow_prefixes, crawl_delay_ms, allow_prefixes) — the
-    cache-fill side of
+    (host, disallow_prefixes, crawl_delay_ms, allow_prefixes, sitemaps)
+    — the cache-fill side of
     the robots table. ``sites`` items are either bare hosts or
     (host, base_url) pairs: the frontier's politeness key is the bare
     host, but the fetch needs the full authority (scheme + host:port) —
@@ -332,6 +375,7 @@ def fetch_robots_df(
                         "disallow_prefixes": [r[1] for r in rows],
                         "crawl_delay_ms": [r[2] for r in rows],
                         "allow_prefixes": [r[3] for r in rows],
+                        "sitemaps": [r[4] for r in rows],
                     }
                 )
 

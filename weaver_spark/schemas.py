@@ -108,6 +108,10 @@ ROBOTS_SCHEMA = StructType(
         # de-facto Google semantics). Nullable: rows persisted before
         # this column existed read as null = no allow overrides.
         StructField("allow_prefixes", ArrayType(StringType()), True),
+        # Sitemap: URLs advertised by the host's robots.txt (global
+        # records, not group-scoped). Nullable: pre-upgrade cache rows
+        # read null = none advertised. Consumed by engine.ingest_sitemaps.
+        StructField("sitemaps", ArrayType(StringType()), True),
     ]
 )
 
@@ -177,6 +181,12 @@ FETCH_RESULT_SCHEMA = StructType(
         # Nullable: null = no redirect / synthetic mode; stage files
         # written before this column existed read as null.
         StructField("final_url", StringType(), True),
+        # freshness validators captured from the response (HTTP mode):
+        # the recrawl path joins them back onto re-enqueued URLs as
+        # If-None-Match / If-Modified-Since. Nullable: server may send
+        # neither; synthetic mode and pre-upgrade stage files read null.
+        StructField("etag", StringType(), True),
+        StructField("last_modified", StringType(), True),
     ]
 )
 
