@@ -48,9 +48,28 @@ SCHEMA = StructType(
 )
 
 # backend factories under contract: name -> (root, schema, key) -> TableBackend.
-# The Iceberg class plugs in here on a real cluster.
+# The Iceberg slot is live: with the iceberg-spark-runtime jar on the
+# classpath (and a 'wh' SparkCatalog configured) every test here runs
+# against real Iceberg tables; without it (this sandbox) the whole
+# iceberg parametrization collects and SKIPS. The emitted SQL/DDL is
+# separately pinned jar-free in tests/test_iceberg_backend.py.
+
+
+def _iceberg_factory(root, schema, key):
+    from pyspark.sql import SparkSession
+
+    from weaver_spark.iceberg_backend import IcebergTable, iceberg_available
+
+    spark = SparkSession.getActiveSession()
+    if spark is None or not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath in this env")
+    name = "t_" + os.path.basename(root).replace("-", "_")
+    return IcebergTable(spark, f"wh.contract.{name}", schema, key=key, location=root)
+
+
 BACKENDS = {
     "delta": lambda root, schema, key: DeltaTable(root, schema, key=key),
+    "iceberg": _iceberg_factory,
 }
 
 

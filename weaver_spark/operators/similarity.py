@@ -189,11 +189,23 @@ def train_ivf_codebook(
     ``knn_ivf`` serves from (VERDICT r4 #4 — knn_ivf previously took
     centroids as given).
 
-    Deterministic throughout: init is farthest-point (maxmin) seeded at
-    the lowest ``id_col`` — the first centroid is the min-id vector and
-    each next centroid is the row whose best cosine against the chosen
-    set is LOWEST (ties to the lower id) — so two runs over the same
-    corpus produce byte-identical codebooks, no RNG.
+    Deterministic throughout — no RNG, two runs over the same corpus
+    produce byte-identical codebooks. Init is k-means‖-style
+    deterministic oversampling (Bahmani et al., "Scalable k-means++",
+    VLDB 2012, with the sampling step replaced by a deterministic
+    worst-covered top-L): seeded at the lowest ``id_col`` vector, then
+    O(log n_cells) ROUNDS — each round takes the L rows whose best
+    cosine against the running candidate set is LOWEST (ties to the
+    lower id; one TakeOrdered job), updates a materialized per-row
+    best-cos column against only the round's NEW candidates
+    (localCheckpoint truncates the lineage so the plan never compounds),
+    and stops once ~2*n_cells candidates exist. The candidate set is
+    then reduced to n_cells centroids by farthest-point maxmin ON THE
+    DRIVER (numpy over the small candidate set — zero Spark jobs).
+    Total init cost: <= ~3 jobs per round, O(log n_cells) rounds — NOT
+    the O(n_cells) sequential agg jobs of the previous farthest-point
+    init (VERDICT r5 #3), which at production n_cells (2^12..2^16) was
+    thousands of serial driver round-trips before Lloyd started.
 
     Scale shape (the 100 TB layout argument): per Lloyd iteration the
     codebook ships as plan literals — cell assignment is a map-side
@@ -201,14 +213,16 @@ def train_ivf_codebook(
     per-cell partial aggregate (n_cells x (dim+1) scalars per task,
     map-side combined), and the driver touches exactly n_cells rows per
     iteration to recompute centroids (normalized means — spherical
-    k-means matches the cosine assignment knn_ivf uses). Init does one
-    small agg job per centroid; at corpus scale pass ``init_limit`` to
-    run init over the N lowest-id rows (a deterministic subset) instead
-    of full scans — Lloyd iterations still see the whole corpus.
+    k-means matches the cosine assignment knn_ivf uses). At corpus
+    scale pass ``init_limit`` to run init over the N lowest-id rows (a
+    deterministic subset) instead of full scans — Lloyd iterations
+    still see the whole corpus.
 
     Empty cells keep their previous centroid. Stops early when every
     centroid's cosine shift falls below ``tol``.
     """
+    import math
+
     assert n_cells >= 1
     spark = corpus.sparkSession
     base = (
@@ -226,18 +240,64 @@ def train_ivf_codebook(
     init_src = (
         base.orderBy("_id").limit(init_limit) if init_limit is not None else base
     )
-    cents: list[tuple[int, list[float]]] = [(0, [float(x) for x in first["v"]])]
-    for k in range(1, n_cells):
-        cos_cols = [_cos_to_lit(F.col("v"), F.col("vn"), cv) for _, cv in cents]
-        best = cos_cols[0] if len(cos_cols) == 1 else F.greatest(*cos_cols)
-        pick = init_src.agg(
-            F.min(
-                F.struct(
-                    best.alias("mc"), F.col("_id").alias("i"), F.col("v").alias("pv")
-                )
-            ).alias("p")
-        ).collect()[0]["p"]
-        cents.append((k, [float(x) for x in pick["pv"]]))
+    first_vec = [float(x) for x in first["v"]]
+    cand: list[tuple[int, list[float]]] = [(int(first["_id"]), first_vec)]
+    target = 2 * n_cells + 1
+    rounds = max(1, math.ceil(math.log2(max(n_cells, 2))))
+    per_round = max(1, math.ceil((target - 1) / rounds))
+    state = init_src.select("_id", "v", "vn").withColumn(
+        "bc", _cos_to_lit(F.col("v"), F.col("vn"), first_vec)
+    )
+    if n_cells > 1:
+        state = state.localCheckpoint()
+        seen_ids = {cand[0][0]}
+        for _round in range(rounds):
+            if len(cand) >= target:
+                break
+            picks = (
+                state.orderBy(F.col("bc").asc(), F.col("_id").asc())
+                .limit(per_round)
+                .select("_id", "v")
+                .collect()
+            )
+            new = [
+                (int(r["_id"]), [float(x) for x in r["v"]])
+                for r in picks
+                if int(r["_id"]) not in seen_ids
+            ]
+            if not new:
+                break  # corpus exhausted: every row is a candidate
+            seen_ids.update(i for i, _ in new)
+            cand.extend(new)
+            upd = [_cos_to_lit(F.col("v"), F.col("vn"), cv) for _, cv in new]
+            state = state.withColumn(
+                "bc", F.greatest(F.col("bc"), *upd) if len(upd) > 1 else F.greatest(F.col("bc"), upd[0])
+            ).localCheckpoint()
+    # driver-side maxmin reduction of the candidate pool to n_cells:
+    # greedy farthest-point in cosine space, ties to the lower id (the
+    # same rule the old init applied row-wise). Pool is O(n_cells) rows
+    # of dim floats — pure numpy, no Spark jobs.
+    ids = np.array([i for i, _ in cand], dtype=np.int64)
+    vecs = np.array([v for _, v in cand], dtype=np.float64)
+    nrms = np.linalg.norm(vecs, axis=1)
+    nrms[nrms == 0] = 1.0
+    unit = vecs / nrms[:, None]
+    order0 = int(np.argmin(ids))  # seed: the min-id candidate
+    chosen = [order0]
+    best_cos = unit @ unit[order0]
+    while len(chosen) < min(n_cells, len(cand)):
+        # lowest best-cos wins; ties to the lower id
+        m = best_cos.min()
+        tie = np.where(best_cos <= m + 1e-15)[0]
+        nxt = int(tie[np.argmin(ids[tie])])
+        chosen.append(nxt)
+        np.maximum(best_cos, unit @ unit[nxt], out=best_cos)
+    cents: list[tuple[int, list[float]]] = [
+        (k, [float(x) for x in vecs[c]]) for k, c in enumerate(chosen)
+    ]
+    while len(cents) < n_cells:  # degenerate: fewer rows than cells —
+        # duplicate the seed (matches the old init's behavior)
+        cents.append((len(cents), list(cents[0][1])))
 
     for _it in range(n_iters):
         assigned = base.withColumn(
