@@ -442,20 +442,27 @@ def run_scaling() -> dict:
     os.environ.setdefault("WEAVER_STAGE_CODEC", "snappy")
     here = os.path.dirname(os.path.abspath(__file__))
 
-    # hardware ceiling witness: pure-ALU per-core ratio at the leg widths
-    probe = {}
-    probe_path = os.path.join(here, "BENCH", "cpu_probe.py")
-    if os.path.exists(probe_path) and _shutil.which("taskset"):
+    def _alu_probe() -> dict:
+        """Hardware ceiling witness: pure-ALU per-core ratio at the leg
+        widths. Run BEFORE and AFTER the legs — the r6 protocol's
+        pre-declared window-admission rule (BENCH/PROTOCOL_r6.md) gates
+        on min(pre, post) per-core ratio >= 0.95, so a host that turns
+        hostile mid-window disqualifies the window instead of silently
+        deflating the measured efficiency."""
+        probe_path = os.path.join(here, "BENCH", "cpu_probe.py")
+        if not (os.path.exists(probe_path) and _shutil.which("taskset")):
+            return {}
         penv = dict(os.environ, PROBE_PROCS=f"{lo},{hi}", PROBE_KINDS="alu",
                     PROBE_SECONDS="5")
         p = subprocess.run(
             [sys.executable, probe_path], capture_output=True, text=True, env=penv
         )
         try:
-            probe = json.loads(p.stdout.strip().splitlines()[-1])
+            return json.loads(p.stdout.strip().splitlines()[-1])
         except Exception:
-            probe = {}
+            return {}
 
+    probe = _alu_probe()
     results: dict[int, dict] = {}
     all_rates: dict[int, list[float]] = {lo: [], hi: []}
     for _rep in range(repeats):
@@ -486,9 +493,16 @@ def run_scaling() -> dict:
                 > results[cpus]["crawl"]["urls_per_sec"]
             ):
                 results[cpus] = run
+    probe_post = _alu_probe()
     r_lo = results[lo]["crawl"]["urls_per_sec"]
     r_hi = results[hi]["crawl"]["urls_per_sec"]
     eff = round(r_hi / (4 * r_lo), 3)
+    pre_ratio = (probe.get("alu") or {}).get("per_core_ratio")
+    post_ratio = (probe_post.get("alu") or {}).get("per_core_ratio")
+    admitted = None
+    if pre_ratio is not None and post_ratio is not None:
+        # the r6 pre-declared admission rule (BENCH/PROTOCOL_r6.md)
+        admitted = min(pre_ratio, post_ratio) >= 0.95
     out = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": eff,
@@ -502,6 +516,8 @@ def run_scaling() -> dict:
         "crawl_lo": results[lo]["crawl"],
         "crawl_hi": results[hi]["crawl"],
         "alu_probe": probe.get("alu", {}),
+        "alu_probe_post": probe_post.get("alu", {}),
+        "window_admitted": admitted,
         "sf": SF_DIR,
         "queries": {},
     }
