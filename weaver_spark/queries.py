@@ -1129,6 +1129,157 @@ FROM flagged GROUP BY user_id
 """
 
 # ---------------------------------------------------------------------------
+# Training-data curation (operators/curation.py): LAION-style filtering,
+# aspect-ratio bucketing, webdataset shard planning. The documents table
+# has no image dims, so both engines derive a deterministic (w, h)
+# stand-in from md5(text) — the same 16-bit chunks on both sides (the
+# phash_neardup_pairs pattern). Float-valued outputs leave as integer
+# surrogates (floor(1e6 * x)): IEEE division/multiplication are
+# correctly rounded and therefore bit-identical across engines, while
+# decimal round() midpoint modes are not — floor sidesteps the one
+# cross-engine hazard.
+# ---------------------------------------------------------------------------
+
+
+def _synth_dims(d: DataFrame) -> DataFrame:
+    """Deterministic stand-in image dims (32..1024) from md5(text)."""
+    w16 = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+    h16 = F.conv(F.substring(F.md5("text"), 5, 4), 16, 10).cast("long")
+    return d.select(
+        "doc_id",
+        ((w16 % 993) + 32).alias("w"),
+        ((h16 % 993) + 32).alias("h"),
+        F.col("text").alias("caption"),
+    )
+
+
+_SYNTH_DIMS_SQL = """
+  SELECT doc_id,
+    (('0x' || substr(md5(text), 1, 4))::BIGINT % 993) + 32 AS w,
+    (('0x' || substr(md5(text), 5, 4))::BIGINT % 993) + 32 AS h,
+    text AS caption
+  FROM documents
+"""
+
+
+def caption_curation_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """LAION-style image+caption curation (operators/curation.
+    curate_image_captions): min-dim, aspect, caption-token and
+    digit-spam gates, all JVM expressions — a map-only pass at 100 TB."""
+    from .operators.curation import curate_image_captions
+
+    base = _synth_dims(_t(spark, sf, "documents"))
+    kept = curate_image_captions(
+        base,
+        min_dim=64,
+        max_aspect=3.0,
+        min_tokens=5,
+        max_tokens=500,
+        max_digit_ratio=0.2,
+    )
+    return kept.select(
+        "doc_id",
+        "w",
+        "h",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("aspect") * 1000000).alias("aspect_ppm"),
+        F.floor(F.col("digit_ratio") * 1000000).alias("digit_ppm"),
+    ).orderBy("doc_id")
+
+
+CURATION_SQL = f"""
+WITH dims AS ({_SYNTH_DIMS_SQL}),
+stats AS (
+  SELECT doc_id, w, h,
+    CAST(greatest(w, h) AS DOUBLE) / least(w, h) AS aspect,
+    len(list_filter(regexp_split_to_array(lower(caption), '[^a-z0-9]+'),
+        t -> t <> '')) AS n_tokens,
+    CAST(length(regexp_replace(caption, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(regexp_replace(caption, '\\s', '', 'g')), 1)
+      AS digit_ratio
+  FROM dims)
+SELECT doc_id, w, h, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(FLOOR(aspect * 1000000) AS BIGINT) AS aspect_ppm,
+  CAST(FLOOR(digit_ratio * 1000000) AS BIGINT) AS digit_ppm
+FROM stats
+WHERE w >= 64 AND h >= 64 AND aspect <= 3.0
+  AND n_tokens BETWEEN 5 AND 500 AND digit_ratio <= 0.2
+ORDER BY doc_id
+"""
+
+
+def aspect_bucket_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Resolution-bucket assignment (operators/curation.
+    aspect_bucket_col, integer-exact argmin) + per-bucket rollup —
+    the batching prep step of image-generation training."""
+    from .operators.curation import aspect_bucket_col
+
+    base = _synth_dims(_t(spark, sf, "documents"))
+    return (
+        base.withColumn(
+            "bucket", aspect_bucket_col(F.col("w"), F.col("h"))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("w").cast("long").alias("sum_w"),
+            F.sum("h").cast("long").alias("sum_h"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# buckets (1,1),(4,3),(3,4),(16,9),(9,16); LCM of heights = 144
+ASPECT_BUCKET_SQL = f"""
+WITH dims AS ({_SYNTH_DIMS_SQL}),
+buckets(bw, bh, ord, label) AS (VALUES
+  (1, 1, 0, '1x1'), (4, 3, 1, '4x3'), (3, 4, 2, '3x4'),
+  (16, 9, 3, '16x9'), (9, 16, 4, '9x16')),
+ranked AS (
+  SELECT d.doc_id, d.w, d.h, b.label,
+    row_number() OVER (
+      PARTITION BY d.doc_id
+      ORDER BY abs(d.w * b.bh - d.h * b.bw) * (144 // b.bh), b.ord
+    ) AS rk
+  FROM dims d CROSS JOIN buckets b)
+SELECT label AS bucket, COUNT(*) AS n_imgs,
+  CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h
+FROM ranked WHERE rk = 1 GROUP BY label ORDER BY bucket
+"""
+
+
+def shard_plan_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Webdataset-style shard planning (operators/curation.plan_shards:
+    distributed exclusive prefix sum, no global window) rolled up to
+    the per-shard manifest. Partition-count-invariant by construction;
+    the oracle is the single-window formulation of the same math."""
+    from .operators.curation import plan_shards, shard_manifest
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    planned = plan_shards(d, "doc_id", "n_chars", shard_budget=20000)
+    return (
+        shard_manifest(planned, "doc_id", "n_chars")
+        .withColumnRenamed("n_rows", "n_docs")
+        .orderBy("shard_id")
+    )
+
+
+SHARD_PLAN_SQL = """
+WITH pre AS (
+  SELECT doc_id, n_chars,
+    COALESCE(SUM(n_chars) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS byte_offset
+  FROM documents)
+SELECT CAST(FLOOR(byte_offset / 20000) AS BIGINT) AS shard_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+FROM pre GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1166,4 +1317,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_stats": (lang_stats, LANG_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "caption_curation_filter": (caption_curation_filter, CURATION_SQL),
+    "aspect_bucket_rollup": (aspect_bucket_rollup, ASPECT_BUCKET_SQL),
+    "shard_plan_rollup": (shard_plan_rollup, SHARD_PLAN_SQL),
 }
