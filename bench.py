@@ -361,6 +361,77 @@ def bench_dedup_scale(spark) -> dict:
     return out
 
 
+def bench_curation_scale(spark) -> dict:
+    """Curation family at a timed 100k-doc scale (mirrors the dedup
+    leg's rationale: the sf0.1 suite exercises these on ~500 docs where
+    a shuffle-shaped regression stays invisible). Times shard planning
+    (distributed prefix sum — one subtotal agg + map), mix rebalance
+    (one O(|strata|) agg + map-only filter), and decontamination
+    (broadcast benchmark gram semi-join), so the 'no data shuffle'
+    scale claims are committed NUMBERS round-over-round."""
+    from weaver_spark.operators.curation import (
+        contamination_check,
+        plan_shards,
+        rebalance_by_stratum,
+        shard_manifest,
+        split_assign_col,
+    )
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("WEAVER_CURATION_SCALE_DOCS", "100000"))
+    docs = (
+        synth_docs(spark, n, dup_groups=1)
+        .withColumn("nbytes", F.length("text").cast("long"))
+        .withColumn(
+            "stratum",
+            F.concat(
+                F.lit("s"), F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("string")
+            ),
+        )
+        .persist()
+    )
+    total = docs.count()
+    out: dict = {"docs": total}
+
+    t0 = time.perf_counter()
+    man = shard_manifest(
+        plan_shards(docs, "doc_id", "nbytes", shard_budget=200_000),
+        "doc_id",
+        "nbytes",
+    )
+    n_shards = man.count()
+    out["shard_plan"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "shards": n_shards,
+    }
+
+    t0 = time.perf_counter()
+    kept = rebalance_by_stratum(
+        docs, "stratum", "doc_id", {"s0": 5, "s1": 1, "s2": 2, "s3": 3, "s4": 4}
+    ).count()
+    out["mix_rebalance"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "kept": kept,
+        "kept_frac": round(kept / total, 4),
+    }
+
+    t0 = time.perf_counter()
+    split = docs.withColumn("split", split_assign_col(F.col("doc_id")))
+    flagged = contamination_check(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        ngram_n=8,
+    ).count()
+    out["decontaminate"] = {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "flagged": flagged,
+    }
+    docs.unpersist()
+    return out
+
+
 def run_single(crawl_only: bool) -> dict:
     spark = _spark()
     out: dict = {"sf": SF_DIR, "cpus": CPUS}
@@ -378,6 +449,7 @@ def run_single(crawl_only: bool) -> dict:
         # the fixed-work amortization witness (fixed work is per ROUND)
         out["deep_crawl_x4"] = bench_deep_crawl(spark, leaves_per_root=1200)
         out["dedup_scale"] = bench_dedup_scale(spark)
+        out["curation_scale"] = bench_curation_scale(spark)
     out["queries"] = qtimes
     total = round(
         sum(qtimes.values())
@@ -386,7 +458,11 @@ def run_single(crawl_only: bool) -> dict:
         + out.get("deep_crawl_x4", {}).get("seconds", 0.0)
         + out.get("dedup_scale", {}).get("minhash_lsh", {}).get("seconds", 0.0)
         + out.get("dedup_scale", {}).get("ngram_jaccard", {}).get("seconds", 0.0)
-        + out.get("dedup_scale", {}).get("resolve", {}).get("seconds", 0.0),
+        + out.get("dedup_scale", {}).get("resolve", {}).get("seconds", 0.0)
+        + sum(
+            out.get("curation_scale", {}).get(k, {}).get("seconds", 0.0)
+            for k in ("shard_plan", "mix_rebalance", "decontaminate")
+        ),
         3,
     )
     out.update(

@@ -11,14 +11,19 @@ import io
 import random
 import tarfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from weaver_spark.operators.curation import (
+    HASH_BUCKET_BITS,
     aspect_bucket_col,
     curate_image_captions,
+    hash_bucket_col,
     pack_shards,
     plan_shards,
+    rebalance_by_stratum,
     shard_manifest,
+    split_assign_col,
 )
 
 BUDGET = 5000
@@ -146,3 +151,127 @@ def test_pack_shards_roundtrip_and_determinism(spark):
         planned, "id", members=[("caption", "txt"), ("payload", "bin")]
     ).collect()
     assert {r.shard_id: r.tar_sha256 for r in packed2} == seen
+
+
+def _strata_df(spark, nparts=4):
+    # strata sized 400 / 200 / 40, plus an unlisted stratum
+    rows = []
+    i = 0
+    for s, n in (("a", 400), ("b", 200), ("c", 40), ("junk", 25)):
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    return spark.createDataFrame(rows, "id long, s string").repartition(nparts)
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_rebalance_binding_stratum_kept_in_full(spark, method):
+    df = _strata_df(spark)
+    kept = rebalance_by_stratum(
+        df, "s", "id", {"a": 1, "b": 1, "c": 1}, method=method
+    )
+    by = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # binding stratum (min count/weight) survives whole; others shrink
+    # toward it in expectation; the unlisted stratum is dropped
+    assert by["c"] == 40
+    assert "junk" not in by
+    assert 0 < by["a"] < 400 and 0 < by["b"] < 200
+    # every kept row's bucket clears the exact integer threshold the
+    # implementation promises: th_s = (c_m * w_s * 2^B) // (w_m * c_s)
+    denom = 1 << HASH_BUCKET_BITS
+    th = {"a": 40 * denom // 400, "b": 40 * denom // 200, "c": denom}
+    got = kept.select(
+        "s", "id", hash_bucket_col(F.col("id"), method=method).alias("bkt")
+    ).collect()
+    for r in got:
+        assert r.bkt < th[r.s], r
+    # and no qualifying row was dropped
+    want = {
+        (r.s, r.id)
+        for r in df.select(
+            "s", "id", hash_bucket_col(F.col("id"), method=method).alias("bkt")
+        ).collect()
+        if r.s in th and r.bkt < th[r.s]
+    }
+    assert {(r.s, r.id) for r in got} == want
+
+
+def test_rebalance_is_partition_and_rerun_invariant(spark):
+    base = {
+        (r.s, r.id)
+        for r in rebalance_by_stratum(
+            _strata_df(spark, nparts=1), "s", "id", {"a": 2, "b": 3, "c": 5}
+        ).collect()
+    }
+    for nparts in (3, 8):
+        again = {
+            (r.s, r.id)
+            for r in rebalance_by_stratum(
+                _strata_df(spark, nparts=nparts), "s", "id",
+                {"a": 2, "b": 3, "c": 5},
+            ).collect()
+        }
+        assert again == base
+
+
+def test_rebalance_rejects_empty_weights(spark):
+    df = _strata_df(spark)
+    with pytest.raises(ValueError):
+        rebalance_by_stratum(df, "s", "id", {"a": 0})
+    # weights naming only absent strata -> empty result, not an error
+    assert (
+        rebalance_by_stratum(df, "s", "id", {"nope": 1}).count() == 0
+    )
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    small = spark.range(1000).withColumn(
+        "split", split_assign_col(F.col("id"))
+    )
+    big = spark.range(2000).withColumn(
+        "split", split_assign_col(F.col("id"))
+    )
+    first = {r.id: r.split for r in small.collect()}
+    grown = {r.id: r.split for r in big.collect() if r.id < 1000}
+    assert grown == first  # no leakage across regeneration
+    by = {r.split: r.n for r in big.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == 2000
+    assert by["train"] > 10 * max(by["val"], by["test"])  # ~18:1:1
+
+
+def test_split_assign_rejects_nonpositive_weights(spark):
+    with pytest.raises(ValueError):
+        split_assign_col(F.col("id"), splits=(("train", 1), ("val", 0)))
+
+
+def test_contamination_check_flags_planted_overlap(spark):
+    from weaver_spark.operators.curation import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma yy"),          # 1 of 3 grams hit
+            (2, "completely different words here"),  # clean
+            (3, "alpha beta gamma delta epsilon"),   # 2 of 3 grams hit
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.n_grams, r.n_hits, r.contam_ppm)
+        for r in contamination_check(
+            corpus, bench, "id", "text", ngram_n=3
+        ).collect()
+    }
+    assert got == {1: (3, 1, 333333), 3: (3, 2, 666666)}
+    # non-broadcast fallback computes the same answer
+    got2 = {
+        r.id: (r.n_grams, r.n_hits, r.contam_ppm)
+        for r in contamination_check(
+            corpus, bench, "id", "text", ngram_n=3,
+            broadcast_benchmark=False,
+        ).collect()
+    }
+    assert got2 == got

@@ -135,6 +135,195 @@ def aspect_bucket_col(
     return F.array_sort(F.array(*entries))[0]["bucket"]
 
 
+HASH_BUCKET_BITS = 20  # 5 hex nibbles of md5 == exactly 2^20 buckets
+
+
+def hash_bucket_col(
+    id_col: Column, *, method: str = "xxhash64"
+) -> Column:
+    """Deterministic per-row bucket in ``[0, 2**HASH_BUCKET_BITS)``.
+
+    The primitive under deterministic sampling: a row's fate depends
+    only on its id, never on partitioning, ordering, or a seed stream —
+    re-runs, resumes and replicas make identical keep/drop decisions,
+    and composed samples (mix rebalance, then split assignment) stay
+    independent-ish because each stage can use a different method/salt.
+
+    ``method="xxhash64"`` is the production path (one JVM hash, no
+    string materialization). ``method="md5"`` buckets on the first 5
+    hex chars of ``md5(cast(id AS string))`` — slower, but computable
+    bit-identically in any engine (the cross-engine oracle path; DuckDB:
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 5))::BIGINT``).
+    """
+    if method == "xxhash64":
+        return F.pmod(
+            F.xxhash64(id_col), F.lit(1 << HASH_BUCKET_BITS)
+        ).cast("long")
+    if method == "md5":
+        return F.conv(
+            F.substring(F.md5(id_col.cast("string")), 1, 5), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash method: {method}")
+
+
+def rebalance_by_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    *,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Downsample toward a target stratum mix — the data-mixing step of
+    a pretraining pipeline (e.g. rebalance languages or sources to
+    target proportions before tokenization).
+
+    ``weights`` maps stratum value -> integer target weight (relative
+    proportions; they need not sum to anything). The output is the
+    LARGEST deterministic subset with exactly those proportions in
+    expectation, without oversampling any stratum: the binding stratum
+    ``m`` (the one whose ``count/weight`` is smallest) is kept in full,
+    and every other stratum s keeps the fraction
+
+        frac_s = (count_m * w_s) / (w_m * count_s)        (<= 1)
+
+    via ``hash_bucket < floor(frac_s * 2^B)`` — one integer threshold
+    per stratum. Strata absent from ``weights`` are dropped.
+
+    Exactness discipline: the argmin and every threshold are computed
+    in arbitrary-precision INTEGER arithmetic (argmin key
+    ``count_s * (lcm(weights) // w_s)``, threshold a single floor-div),
+    so the selection is bit-identical across engines and immune to
+    float near-ties — the same reason aspect_bucket_col cross-multiplies.
+
+    Scale shape: one O(|strata|)-row aggregate (the only job before the
+    map pass; the driver sees scalar counts, never rows), then a
+    map-only filter against broadcast-literal thresholds — no shuffle
+    of the data, no window, no skew sensitivity (hot strata are FILTERED,
+    not grouped). Sampling error vs the exact target is
+    O(sqrt(count)) per stratum — negligible at pipeline scale; small
+    fixtures pin determinism, not proportions.
+    """
+    w = {k: int(v) for k, v in weights.items() if int(v) > 0}
+    if not w:
+        raise ValueError("weights must contain a positive entry")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(stratum_col).isin(*w))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    }
+    strata = sorted(k for k in w if counts.get(k))
+    if not strata:
+        return df.where(F.lit(False))
+    lcm = math.lcm(*(w[s] for s in strata))
+    m = min(strata, key=lambda s: (counts[s] * (lcm // w[s]), s))
+    denom = 1 << HASH_BUCKET_BITS
+    th = {
+        s: min(denom, (counts[m] * w[s] * denom) // (w[m] * counts[s]))
+        for s in strata
+    }
+    mapping = F.create_map(
+        *[F.lit(x) for s in strata for x in (s, th[s])]
+    )
+    bucket = hash_bucket_col(F.col(id_col), method=method)
+    return df.where(
+        F.col(stratum_col).isin(*strata)
+        & (bucket < F.coalesce(mapping[F.col(stratum_col)], F.lit(0)))
+    )
+
+
+def split_assign_col(
+    id_col: Column,
+    *,
+    splits: Sequence[tuple[str, int]] = (
+        ("train", 18),
+        ("val", 1),
+        ("test", 1),
+    ),
+    method: str = "xxhash64",
+) -> Column:
+    """Deterministic train/val/test assignment by hash range.
+
+    ``splits`` is (name, integer weight) in order; row goes to the
+    first split whose cumulative hash-bucket range contains its bucket.
+    Boundaries are exact integers (``cum_w * 2^B // total_w``), so the
+    assignment is engine-portable under ``method="md5"`` and — the
+    property that matters operationally — STABLE: adding rows never
+    moves an existing row between splits (no leakage of yesterday's
+    test set into tomorrow's training set), unlike randomSplit or any
+    order-dependent scheme. Map-only at any scale.
+    """
+    names = [n for n, _ in splits]
+    ws = [int(x) for _, x in splits]
+    if any(x <= 0 for x in ws):
+        raise ValueError("split weights must be positive")
+    total = sum(ws)
+    denom = 1 << HASH_BUCKET_BITS
+    bounds = []
+    acc = 0
+    for x in ws[:-1]:
+        acc += x
+        bounds.append(acc * denom // total)
+    bucket = hash_bucket_col(id_col, method=method)
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(bucket < b, name).otherwise(expr)
+    return expr
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram_n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: flag corpus docs sharing any word
+    n-gram with a benchmark/eval set (the standard pre-training hygiene
+    pass — eval items leaking into the training set inflate scores).
+
+    Returns one row per CONTAMINATED corpus doc: (id, n_grams distinct
+    grams in the doc, n_hits grams also present anywhere in the
+    benchmark, contam_ppm = floor(1e6 * n_hits / n_grams)).
+
+    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus
+    (eval suites are human-written), so it is collected to a broadcast
+    and the corpus side is one map + broadcast semi-join + per-doc agg —
+    the corpus never shuffles by gram. Set
+    ``broadcast_benchmark=False`` for a pathologically large benchmark
+    (falls back to a shuffle join AQE can re-plan).
+    """
+    from ..functions.text import ngrams_col
+
+    grams = F.explode(
+        F.array_distinct(ngrams_col(F.col(text_col), ngram_n))
+    ).alias("gram")
+    bench_grams = benchmark.select(grams).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    sizes = corpus_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.floor(
+            F.col("n_hits").cast("double") / F.col("n_grams") * 1000000
+        ).alias("contam_ppm"),
+    )
+
+
 def plan_shards(
     df: DataFrame,
     id_col: str,

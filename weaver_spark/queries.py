@@ -1264,6 +1264,137 @@ def shard_plan_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lang_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing step (operators/curation.rebalance_by_stratum):
+    deterministic hash-threshold downsample of the documents table
+    toward a target language mix, rolled up per language. All-integer
+    threshold math (argmin + floor-div in exact arithmetic) so both
+    engines make bit-identical keep/drop decisions; md5 bucket method
+    is the cross-engine oracle path (production default: xxhash64)."""
+    from .operators.curation import rebalance_by_stratum
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    kept = rebalance_by_stratum(
+        d,
+        "lang",
+        "doc_id",
+        {"de": 2, "en": 3, "es": 2, "fr": 2, "zh": 2},
+        method="md5",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# lcm(2,3) = 6; buckets = 2^20 = 1048576 (curation.HASH_BUCKET_BITS)
+LANG_MIX_SQL = """
+WITH w(lang, wt) AS (VALUES ('de', 2), ('en', 3), ('es', 2), ('fr', 2), ('zh', 2)),
+cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+j AS (SELECT w.lang, w.wt, cnt.c FROM w JOIN cnt USING (lang)),
+m AS (SELECT lang AS mlang, wt AS mwt, c AS mc
+      FROM j ORDER BY c * (6 // wt), lang LIMIT 1),
+th AS (SELECT j.lang,
+         LEAST(CAST(1048576 AS HUGEINT),
+               (CAST(m.mc AS HUGEINT) * j.wt * 1048576)
+                 // (CAST(m.mwt AS HUGEINT) * j.c)) AS t
+       FROM j CROSS JOIN m),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN th ON d.lang = th.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT < th.t)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_split_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/curation.
+    split_assign_col, 18:1:1 by exact integer hash-range bounds —
+    stable under corpus growth, engine-portable under md5), rolled up
+    per split."""
+    from .operators.curation import split_assign_col
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("split", split_assign_col(F.col("doc_id"), method="md5"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+def decontaminate_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition: split_assign_col carves documents into train/test,
+    contamination_check (operators/curation.py) flags train docs
+    sharing any word 3-gram with the test set — the decontamination
+    hygiene pass of a pretraining pipeline. Benchmark grams broadcast;
+    the corpus never shuffles by gram."""
+    from .operators.curation import contamination_check, split_assign_col
+
+    d = _t(spark, sf, "documents").withColumn(
+        "split", split_assign_col(F.col("doc_id"), method="md5")
+    )
+    flagged = contamination_check(
+        d.where(F.col("split") == "train"),
+        d.where(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        ngram_n=3,
+    )
+    return flagged.orderBy("doc_id")
+
+
+DECONTAM_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS bucket
+  FROM documents),
+toks AS (
+  SELECT doc_id, bucket,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM b),
+grams AS (
+  SELECT doc_id, bucket, UNNEST(list_distinct(
+    CASE WHEN len(toks) < 3 THEN [] ELSE
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')) END)) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 996147),
+corpus AS (SELECT doc_id, gram FROM grams WHERE bucket < 943718),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM corpus JOIN bench USING (gram) GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id)
+SELECT h.doc_id, s.n_grams, h.n_hits,
+  CAST(FLOOR(CAST(h.n_hits AS DOUBLE) / s.n_grams * 1000000) AS BIGINT)
+    AS contam_ppm
+FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id
+"""
+
+
+# bounds: 18*2^20//20 = 943718, 19*2^20//20 = 996147 (exact ints)
+DOC_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 943718 THEN 'train'
+            WHEN bucket < 996147 THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  COUNT(DISTINCT lang) AS n_langs
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 SHARD_PLAN_SQL = """
 WITH pre AS (
   SELECT doc_id, n_chars,
@@ -1320,4 +1451,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "caption_curation_filter": (caption_curation_filter, CURATION_SQL),
     "aspect_bucket_rollup": (aspect_bucket_rollup, ASPECT_BUCKET_SQL),
     "shard_plan_rollup": (shard_plan_rollup, SHARD_PLAN_SQL),
+    "lang_mix_rebalance": (lang_mix_rebalance, LANG_MIX_SQL),
+    "doc_split_rollup": (doc_split_rollup, DOC_SPLIT_SQL),
+    "decontaminate_train_split": (decontaminate_train_split, DECONTAM_SQL),
 }
