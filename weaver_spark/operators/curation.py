@@ -290,37 +290,44 @@ def contamination_check(
     grams in the doc, n_hits grams also present anywhere in the
     benchmark, contam_ppm = floor(1e6 * n_hits / n_grams)).
 
-    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus
-    (eval suites are human-written), so it is collected to a broadcast
-    and the corpus side is one map + broadcast semi-join + per-doc agg —
-    the corpus never shuffles by gram. Set
-    ``broadcast_benchmark=False`` for a pathologically large benchmark
-    (falls back to a shuffle join AQE can re-plan).
+    Scale shape (r7, single-pass): the benchmark gram set is tiny next
+    to a 100 TB corpus (eval suites are human-written), so it is
+    collected to a broadcast carrying a hit marker; the corpus side is
+    ONE map + broadcast LEFT join + ONE per-doc agg counting all grams
+    (``count(*)``) and marked grams (``count(marker)``) together — the
+    corpus is exploded and shuffled exactly once (the previous shape
+    ran the explode twice, feeding separate sizes/hits aggregates that
+    were then re-joined). The benchmark grams are distinct, so the left
+    join never duplicates a corpus row, and ``n_hits > 0`` reproduces
+    the old inner-join row set. Set ``broadcast_benchmark=False`` for a
+    pathologically large benchmark (falls back to a shuffle join AQE
+    can re-plan).
     """
     from ..functions.text import ngrams_col
 
     grams = F.explode(
         F.array_distinct(ngrams_col(F.col(text_col), ngram_n))
     ).alias("gram")
-    bench_grams = benchmark.select(grams).distinct()
+    bench_grams = benchmark.select(grams).distinct().withColumn("_hit", F.lit(1))
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     corpus_grams = corpus.select(F.col(id_col), grams)
-    sizes = corpus_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        corpus_grams.join(bench_grams, "gram")
+    return (
+        corpus_grams.join(bench_grams, "gram", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return hits.join(sizes, id_col).select(
-        id_col,
-        "n_grams",
-        "n_hits",
-        F.floor(
-            F.col("n_hits").cast("double") / F.col("n_grams") * 1000000
-        ).alias("contam_ppm"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.floor(
+                F.col("n_hits").cast("double") / F.col("n_grams") * 1000000
+            ).alias("contam_ppm"),
+        )
     )
 
 

@@ -64,19 +64,44 @@ def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
     Deterministic whole-bucket drop (never a sample): the pair output
     stays reproducible and the semantics are crisp — "signatures this
     common carry no near-dup evidence beyond exact-dup, which
-    ``dedup_exact`` already handles". Plan shape: one keyed groupBy
-    (linear, map-side partial agg) + a left_semi join on the SAME
-    (band, bkey) key the pair self-join shuffles on, so the cap reuses
-    the join's partitioning instead of adding an extra shuffle stage."""
+    ``dedup_exact`` already handles". r7 plan shape: the OVER-cap key
+    set is computed with one keyed count (map-side partial agg — the
+    exchange carries (band, bkey, partial count) triples, not rows)
+    and anti-joined back as a BROADCAST — over-cap buckets are rare by
+    construction (at most n/max_bucket keys exist, and only
+    boilerplate-shaped ones are over the cap), so the big bucket
+    relation is filtered map-side without the extra keyed semi-join
+    exchange the previous shape paid (guide §3.1)."""
     if max_bucket is None:
         return buckets
-    ok = (
+    over = overcap_buckets(buckets, max_bucket).select("band", "bkey")
+    return buckets.join(F.broadcast(over), ["band", "bkey"], "left_anti")
+
+
+def _bucket_pairs(
+    buckets: DataFrame, id_col: str, extra_cols: list[str]
+) -> DataFrame:
+    """Grouped in-place pair generation for banded LSH (r7 shape shared
+    by minhash/simhash/phash): ONE groupBy(band, bkey) collects each
+    bucket's members as a sorted list (callers cap bucket size FIRST
+    via ``_cap_buckets``, so the list is bounded by ``max_bucket``; an
+    uncapped caller accepts the quadratic pair output, which dominates
+    the list itself), and a bucket of n members emits exactly its
+    n(n-1)/2 ordered pairs via posexplode + suffix slice — the same
+    {(a, b) : a.id < b.id} set the old bucket self-join produced, with
+    one keyed exchange instead of the self-join's two shuffle legs
+    (guide §2.4/§3). Output: ``a``/``b`` struct columns (fields ``_id``
+    + ``extra_cols``) for the caller to verify/project."""
+    mem = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in extra_cols])
+    grouped = (
         buckets.groupBy("band", "bkey")
-        .agg(F.count("*").alias("_bsz"))
-        .where(F.col("_bsz") <= max_bucket)
-        .select("band", "bkey")
+        .agg(F.sort_array(F.collect_list(mem)).alias("mem"))
+        .where(F.size("mem") >= 2)
     )
-    return buckets.join(ok, ["band", "bkey"], "left_semi")
+    return grouped.select(F.posexplode("mem").alias("_i", "a"), "mem").select(
+        "a",
+        F.explode(F.slice("mem", F.col("_i") + 2, F.size("mem"))).alias("b"),
+    )
 
 
 def overcap_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
@@ -95,15 +120,27 @@ def _minhash_sigs(
     df: DataFrame, id_col: str, text_col: str, k: int, shingle_n: int
 ) -> DataFrame:
     """k minhash values per doc over word-shingle sets via xxhash64 with
-    k seeds (JVM-side, no UDF)."""
-    sh = df.select(
-        F.col(id_col), F.explode(ngrams_col(F.col(text_col), shingle_n)).alias("sh")
-    ).distinct()
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(1000003 * i))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    k seeds (JVM-side, no UDF).
+
+    r7: a pure MAP pass — min(xxhash64(shingle, seed)) over a row's
+    distinct shingle set is ``array_min(transform(...))`` in place, so
+    the explode -> distinct -> groupBy pipeline (two exchanges over
+    |docs| x |shingles| rows) collapses to zero shuffles (guide §2.4).
+    Rows with no shingles never formed a group before, hence the
+    ``size > 0`` filter; ids are assumed unique per row (they are, for
+    every corpus this library serves — the old groupBy would instead
+    have merged duplicate ids' shingle sets)."""
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(ngrams_col(F.col(text_col), shingle_n)).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(1000003 * i)))
+        ).alias(f"mh{i}")
+
+    return base.select(F.col(id_col), *[_mh(i) for i in range(k)])
 
 
 def dedup_minhash_lsh(
@@ -139,21 +176,11 @@ def dedup_minhash_lsh(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     buckets = _cap_buckets(buckets, max_bucket)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+    return (
+        _bucket_pairs(buckets, id_col, [])
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def dedup_simhash(
@@ -171,6 +198,11 @@ def dedup_simhash(
     radius must agree exactly on >=1 band (pigeonhole), so a per-band
     equality self-join finds all of them; verify with bit_count.
     ``max_bucket`` drops over-cap band buckets (module docstring)."""
+    # signature stage deliberately stays explode + groupBy: a zero-
+    # shuffle per-row rewrite (array bit counts) was measured SLOWER
+    # (interpreted higher-order lambdas vs codegen'd hash + sum aggs
+    # here — see queries.simhash16 r7 note); the r7 win in this
+    # operator is the banded pair stage below (_bucket_pairs).
     tok = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t"))
     h = tok.withColumn("h", F.xxhash64("t"))
     bit_sums = [
@@ -202,21 +234,13 @@ def dedup_simhash(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     buckets = _cap_buckets(buckets, max_bucket)
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _bucket_pairs(buckets, id_col, ["simhash"])
         .where(ham <= max_hamming)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
             ham.alias("hamming"),
         )
         .distinct()
@@ -239,25 +263,41 @@ def dedup_ngram_jaccard(
     shingles generate quadratic candidates without adding evidence —
     a dropped shingle only lowers measured Jaccard for pairs that were
     below threshold anyway at web scale)."""
+    # r7 plan (the registry ngram_jaccard_pairs shape): per-doc distinct
+    # shingles via array_distinct in the map pass (no .distinct()
+    # exchange), then ONE groupBy(sh) collects each shingle's sorted
+    # posting list, from which df-filtering (size(ids) <= max_df*n),
+    # per-doc sizes (re-explode) and intersection counts (suffix pair
+    # generation) all derive — the dfreq aggregate + broadcast semi-join
+    # + two-legged self-join collapse into one keyed exchange whose
+    # shuffle files both consumers reuse (ReusedExchange, guide §2.4).
     sh = df.select(
-        F.col(id_col), F.explode(ngrams_col(F.col(text_col), shingle_n)).alias("sh")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(F.col(text_col), shingle_n))).alias(
+            "sh"
+        ),
+    )
+    grouped = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_df is not None:
         n_docs = df.count()
-        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        keep = dfreq.where(F.col("df") <= int(max_df * n_docs)).select("sh")
-        sh = sh.join(F.broadcast(keep), "sh", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+        grouped = grouped.where(F.size("ids") <= int(max_df * n_docs))
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("sz"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grouped.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("_i") + 2, F.size("ids"))
+            ).alias("id_b"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -296,6 +336,35 @@ def connected_components(
     the standard formulation for web-scale graphs (trillions of edges);
     a 100 TB corpus's near-dup pair graph is far below that.
     """
+    # Constraint propagation is a pure optimizer inference (never changes
+    # results) and is OFF for the duration of the star iterations: the
+    # alternating passes union/join plans that SHARE attribute ids (self-
+    # unions over the checkpointed edge set), and Spark 4.1's
+    # UnionBase.rewriteConstraints can crash on such plans with
+    # "NoSuchElementException: key not found: <attr>" depending on which
+    # expression ids upstream plans happened to mint. The final result is
+    # localCheckpoint-ed before the previous setting is restored so no
+    # constraint-fragile union escapes this function; inputs here are
+    # checkpointed RDDs, so nothing useful is inferable anyway.
+    spark = pairs.sparkSession
+    _CP_KEY = "spark.sql.constraintPropagation.enabled"
+    try:
+        prev_cp = spark.conf.get(_CP_KEY)
+    except Exception:
+        prev_cp = None
+    spark.conf.set(_CP_KEY, "false")
+    try:
+        return _connected_components_inner(pairs, src, dst, max_iters)
+    finally:
+        if prev_cp is None:
+            spark.conf.unset(_CP_KEY)
+        else:
+            spark.conf.set(_CP_KEY, prev_cp)
+
+
+def _connected_components_inner(
+    pairs: DataFrame, src: str, dst: str, max_iters: int
+) -> DataFrame:
     e = (
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -356,7 +425,9 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    return members.union(roots).distinct()
+    # materialized while constraint propagation is off (see wrapper): the
+    # caller receives a plain LogicalRDD, never a shared-id self-union
+    return members.union(roots).distinct().localCheckpoint()
 
 
 def dedup_resolve(
@@ -415,19 +486,13 @@ def dedup_phash_hamming(
         F.col(id_col), F.col(phash_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, phash_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     buckets = _cap_buckets(buckets, max_bucket)
-    a, b_ = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}")))
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _bucket_pairs(buckets, id_col, [phash_col])
         .where(ham <= max_hamming)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
             ham.alias("hamming"),
         )
         .distinct()

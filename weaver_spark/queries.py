@@ -81,14 +81,28 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + agg + top-10 (broadcast dim, TakeOrdered)."""
+    """TPC-H Q3: 3-way join + agg + top-10 (broadcast dim, TakeOrdered).
+
+    Join order (r7): orders is filtered through the BUILDING customer
+    dim FIRST, so the relation joined against lineitem is ~1/5 of
+    orders projected to (o_orderkey, o_orderdate) — the fact table
+    joins against the smallest possible build side (guide §3.1) and
+    the customer filter prunes before, not after, the big join. Inner
+    joins commute, so the result is unchanged."""
     cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     rev = (F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC)))
+    ord_f = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    # broadcast the FILTERED side: without the hint the planner's size
+    # estimate picks the (column-pruned) lineitem scan as build side — a
+    # 6M-row broadcast. |σ(orders)| is ~|orders|/5 projected to 2 cols;
+    # on a cluster where even filtered orders exceed the broadcast
+    # budget, drop the hint and AQE falls back to SMJ.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(ord_f), li.l_orderkey == ord_f.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .select(
@@ -523,14 +537,28 @@ FROM t
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (k=4, md5 double-seeded) over unigram sets —
-    the shingle->minhash stage of MinHash-LSH dedup."""
+    the shingle->minhash stage of MinHash-LSH dedup.
+
+    r7 plan: a pure MAP pass — min(md5(seed|tok)) over a doc's distinct
+    token set is ``array_min(transform(array_distinct(tokens), ...))``
+    per row, so the explode -> distinct -> groupBy pipeline (two
+    exchanges + sort aggregates over |doc| x |tokens| rows) collapses
+    to zero shuffles (guide §2.4). min over a multiset equals min over
+    its distinct set and docs with no tokens never produced a group, so
+    the ``size > 0`` filter reproduces the old row set exactly."""
     d = _t(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("tok")))).alias(f"m{i}")
+    base = d.select(
+        "doc_id", F.array_distinct(F.expr(_TOKENIZE_SPARK)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_toks"), lambda t: F.md5(F.concat(F.lit(f"s{i}|"), t))
+            )
+        ).alias(f"m{i}")
         for i in range(1, 5)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return base.select("doc_id", *sig_cols)
 
 
 MINHASH_SQL = """
@@ -550,28 +578,53 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bucket-size cap every banded self-join needs at scale (buckets
     holding > 100 docs are dropped before the join — over-cap buckets
     are exact-dup-shaped and would emit O(|bucket|^2) pairs; same rule
-    as operators/dedup._cap_buckets, mirrored in the oracle's HAVING)."""
-    # persist: sig feeds four self-join scan legs — without the pin the
-    # tokenize+distinct+groupBy pipeline would execute up to 4x
-    sig = minhash_signatures(spark, sf).persist()
+    as operators/dedup._cap_buckets, mirrored in the oracle's HAVING).
 
-    def _band(cols: tuple[str, str]) -> DataFrame:
-        ok = (
-            sig.groupBy(*cols)
-            .agg(F.count("*").alias("_bsz"))
-            .where(F.col("_bsz") <= 100)
-            .select(*cols)
+    r7 plan: both bands explode from the (map-only) signature pass into
+    (band, k1, k2) rows, ONE groupBy collects each bucket's sorted doc
+    list (bounded by the cap), and pairs are generated in place with
+    posexplode + slice — a bucket of n docs emits exactly its n(n-1)/2
+    ordered pairs. This replaces, per band, a count-aggregate exchange
+    + a semi-join + a self-join (two more shuffle legs of the signature
+    relation) with a single keyed exchange shared by both bands
+    (guide §2.4/§3); the old ``persist`` crutch goes away because the
+    signature pipeline is now a map pass consumed once. The pair set is
+    unchanged: within a bucket the sorted-list suffix pairing emits
+    {(a, b) : a < b}, the same predicate the self-join applied, and
+    ``size(ids) <= 100`` is the same cap the count-filter applied."""
+    sig = minhash_signatures(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("m1").alias("k1"),
+                    F.col("m2").alias("k2"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.col("m3").alias("k1"),
+                    F.col("m4").alias("k2"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.k1", "bb.k2")
+    grouped = (
+        bands.groupBy("band", "k1", "k2")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 100))
+    )
+    return (
+        grouped.select(F.posexplode("ids").alias("_i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("_i") + 2, F.size("ids"))
+            ).alias("doc_b"),
         )
-        s = sig.join(ok, list(cols), "left_semi")
-        a, b = s.alias("a"), s.alias("b")
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        return a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-
-    return _band(("m1", "m2")).union(_band(("m3", "m4"))).distinct()
+        .distinct()
+    )
 
 
 MINHASH_PAIRS_SQL = """
@@ -597,7 +650,17 @@ SELECT DISTINCT doc_a, doc_b FROM (
 
 
 def simhash16(spark: SparkSession, sf: str) -> DataFrame:
-    """16-bit SimHash over unigram md5 hashes (bit-majority vote)."""
+    """16-bit SimHash over unigram md5 hashes (bit-majority vote).
+
+    r7 note (measured, kept as-is): a zero-shuffle rewrite (per-row
+    bit counts over the token array) was tried and REVERTED — the
+    md5/conv transform and per-bit filters run as interpreted
+    higher-order lambdas, which measured slower end-to-end at sf1.0
+    (count 1.8 -> 2.3 s, noop 4.0 -> 6.0 s) than this explode shape,
+    whose md5 + 16 sum aggregates all run in whole-stage codegen and
+    whose single exchange carries only (doc_id, h) ints. Guide §1.1:
+    the "ideal" shuffle-free plan lost to the codegen gotcha, so the
+    empirical winner stays."""
     d = _t(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")
@@ -638,19 +701,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     evidence), then exact verify over the blocked sets. Same semantics as
     the library operator (operators/dedup.dedup_ngram_jaccard, max_df);
     mirrored token-for-token in JACCARD_SQL so the oracle compares the
-    identical definition."""
+    identical definition.
+
+    r7 plan: per-doc distinct tokens come from ``array_distinct`` in the
+    map pass (the old ``.distinct()`` exchange over exploded rows is
+    gone — (doc, tok) duplicates only ever arise within one doc), and
+    ONE groupBy(tok) collects each token's sorted posting list, from
+    which document-frequency filtering (``size(ids)``), per-doc sizes
+    (re-explode the kept lists) and intersection counts (suffix pair
+    generation, the minhash_lsh_pairs pattern) all derive — replacing
+    the dfreq aggregate + broadcast semi-join + two-legged self-join
+    with one keyed exchange whose shuffle files both consumers reuse
+    (ReusedExchange, guide §2.4). Pair semantics are unchanged: a
+    bucket's suffix pairs are exactly {(a, b) : a < b}, counted per
+    pair = |shared kept tokens|, and sizes count singleton buckets too
+    (filter at <= max_df only), exactly like the semi-joined relation.
+    """
     d = _t(spark, sf, "documents")
     n_docs = d.count()
-    tok = d.select("doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")).distinct()
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    keep = dfreq.where(F.col("df") <= int(0.5 * n_docs)).select("tok")
-    tok = tok.join(F.broadcast(keep), "tok", "left_semi")
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENIZE_SPARK))).alias("tok")
+    )
+    kept = (
+        tok.groupBy("tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= int(0.5 * n_docs))
+    )
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
     inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        kept.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("_i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -867,7 +958,12 @@ FROM cand WHERE bit_count(xor(pa, pb)) <= 6
 
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-3 per query vector (ANN baseline): JVM-side
-    zip_with/aggregate dot products, no Python in the hot path."""
+    dot products, no Python in the hot path.
+
+    r7 note (measured, kept as-is): a dim-unrolled static-expression
+    rewrite of dot/norm was tried and REVERTED — the 64-term get/add
+    chains measured ~2.3x SLOWER at sf1.0 (count 1.2 -> 2.8 s) than
+    these zip_with/aggregate forms. Guide §1.1 empirical loop wins."""
     emb = _t(spark, sf, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), dbl.alias("v"))
