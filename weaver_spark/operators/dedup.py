@@ -122,25 +122,23 @@ def _minhash_sigs(
     """k minhash values per doc over word-shingle sets via xxhash64 with
     k seeds (JVM-side, no UDF).
 
-    r7: a pure MAP pass — min(xxhash64(shingle, seed)) over a row's
-    distinct shingle set is ``array_min(transform(...))`` in place, so
-    the explode -> distinct -> groupBy pipeline (two exchanges over
-    |docs| x |shingles| rows) collapses to zero shuffles (guide §2.4).
-    Rows with no shingles never formed a group before, hence the
-    ``size > 0`` filter; ids are assumed unique per row (they are, for
-    every corpus this library serves — the old groupBy would instead
-    have merged duplicate ids' shingle sets)."""
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(ngrams_col(F.col(text_col), shingle_n)).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-
-    def _mh(i: int):
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(1000003 * i)))
-        ).alias(f"mh{i}")
-
-    return base.select(F.col(id_col), *[_mh(i) for i in range(k)])
+    r7 note (measured, kept as-is): a zero-shuffle rewrite
+    (array_min over transform(xxhash64) per row) was tried and REVERTED
+    — at 101k docs the interpreted higher-order lambdas measured ~2x
+    slower (sigs noop 1.6-2.1 s here vs 2.8-5.1 s map-side; full LSH
+    3.8-4.1 s vs 6.6-6.9 s) than this explode shape, whose xxhash64 and
+    16 min aggregates all run in whole-stage codegen over fixed-width
+    longs. (The REGISTRY's md5-string variant went the other way — its
+    old shape sort-aggregated strings; see queries.minhash_signatures.)
+    Guide §1.1: empirical loop beats the "ideal" shuffle-free plan."""
+    sh = df.select(
+        F.col(id_col), F.explode(ngrams_col(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(1000003 * i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def dedup_minhash_lsh(
