@@ -5,7 +5,12 @@ and silently dropped frontier rows."""
 
 from pyspark.sql import functions as F
 
-from weaver_spark.operators.ranking import dense_seq, fifo_order, topk_per_group
+from weaver_spark.operators.ranking import (
+    dense_seq,
+    dense_seq_numeric,
+    fifo_order,
+    topk_per_group,
+)
 
 
 def test_dense_seq_unique_and_ordered(spark):
@@ -34,6 +39,46 @@ def test_dense_seq_empty(spark):
     out, pin = dense_seq(df, ["a"], start=5)
     assert out.count() == 0
     pin.unpersist()
+
+
+def test_dense_seq_numeric_matches_dense_seq(spark):
+    """The r7 bucketed variant must assign IDENTICAL sequence numbers to
+    the sampling-based dense_seq for any numeric-lead total order —
+    including skewed leads (many equal parent_seq values) and at several
+    partition counts."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            # heavy duplication on the lead: ~200 rows per parent_seq
+            (F.col("id") % 101).alias("parent_seq"),
+            F.col("id").alias("link_pos"),
+        )
+        .dropDuplicates(["parent_seq", "link_pos"])
+    )
+    base, pin = dense_seq(df, ["parent_seq", "link_pos"], start=7)
+    expected = {
+        (r["parent_seq"], r["link_pos"]): r["enqueue_seq"]
+        for r in base.collect()
+    }
+    pin.unpersist()
+    for nparts in (1, 4, 16):
+        out, pin2 = dense_seq_numeric(
+            df, ["parent_seq", "link_pos"], start=7, num_partitions=nparts
+        )
+        assert pin2 is None
+        got = {
+            (r["parent_seq"], r["link_pos"]): r["enqueue_seq"]
+            for r in out.collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+
+
+def test_dense_seq_numeric_empty(spark):
+    df = spark.range(0).select(F.col("id").alias("a"))
+    out, pin = dense_seq_numeric(df, ["a"], start=5)
+    assert out.count() == 0
+    assert pin is None
 
 
 def test_topk_and_fifo(spark):

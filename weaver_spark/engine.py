@@ -53,7 +53,7 @@ from pyspark.sql.types import StringType
 from .catalog import Catalog, TableBackend
 from .functions.urls import canonicalize_series, resolve_series
 from .operators.fetch import make_synthetic_fetch_fn
-from .operators.ranking import budget_rank, dense_seq, topk_per_group
+from .operators.ranking import budget_rank, dense_seq_numeric, topk_per_group
 from .operators.robots import DELAY_CAP_COL, DELAY_MS_COL, apply_robots
 from .operators.seen import BloomSeenSet, antijoin_bloom, antijoin_exact
 from .schemas import (
@@ -1309,23 +1309,6 @@ class CrawlEngine:
         results = _read_results(leaf_dirs)
         mark("fetch_stage")
 
-        # one stats job over the staged results (drives branching too)
-        agg = results.agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("image_id").isNotNull(), 1).otherwise(0)).alias(
-                "payload_rows"
-            ),
-            F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0)).alias("failed"),
-            F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
-            # 304 Not Modified: a conditional recrawl row whose stored
-            # payload is still fresh (kept; headers-only cost)
-            F.sum(F.when(F.col("status_code") == 304, 1).otherwise(0)).alias(
-                "revalidated"
-            ),
-        ).collect()[0]
-
-        mark("stats_agg")
-
         # ---- payloads -> images: ADOPT the stage's sink=p files
         # (storage-key dedup already happened pre-fetch, first wins —
         # reference src/storage/main.go:146-151). A metadata-only commit:
@@ -1386,8 +1369,16 @@ class CrawlEngine:
         results = _read_results(meta_dirs)
 
         mark("images_adopt")
-        # ---- metrics per (round, stage-scan partition, host)
-        metrics_rows = (
+        # ---- stats + metrics in ONE job (r7, guide §2.4 "fewer passes"):
+        # the round's branch-driving scalars (fetched/failed/n_links/...)
+        # are sums over the per-(scan partition, host) metrics groups, so
+        # a single rollup collect replaces the separate global stats
+        # aggregate AND the Spark write job for the metrics table — the
+        # rollup is O(partitions x hosts) rows, committed driver-side via
+        # append_rows (the lineage path: launching a Spark stage to write
+        # a few hundred bookkeeping rows costs ~0.5 s of fixed scheduler
+        # latency per round, a pure serial term in the scaling ratio).
+        grp_rows = (
             results.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id", "host")
             .agg(
@@ -1400,23 +1391,43 @@ class CrawlEngine:
                 ).alias("failed"),
                 F.sum("bytes_len").alias("bytes"),
                 F.sum("fetch_ms").alias("fetch_ms_sum"),
+                F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+                # 304 Not Modified: a conditional recrawl row whose stored
+                # payload is still fresh (kept; headers-only cost)
+                F.sum(
+                    F.when(F.col("status_code") == 304, 1).otherwise(0)
+                ).alias("revalidated"),
             )
-            .select(
-                F.lit(round_no).alias("round"),
-                "partition_id",
-                "host",
-                "fetched",
-                F.col("payloads").alias("deduped"),  # payload rows seen
-                "failed",
-                "bytes",
-                "fetch_ms_sum",
-            )
+            .collect()
         )
+        agg = {
+            k: sum(r[k] for r in grp_rows)
+            for k in ("fetched", "failed", "n_links", "revalidated")
+        }
+        agg["payload_rows"] = sum(r["payloads"] for r in grp_rows)
+        mark("stats_agg")
         # idempotent on re-run after rollback/crash: a metrics commit for
         # this round that already exists is reused, not duplicated
         met_commit = self.metrics.find_commit(round=round_no)
         if met_commit is None:
-            met_commit = self.metrics.append(metrics_rows, meta={"round": round_no})
+            met_commit = self.metrics.append_rows(
+                [
+                    (
+                        round_no,
+                        r["partition_id"],
+                        r["host"],
+                        r["fetched"],
+                        r["payloads"],  # deduped: payload rows seen
+                        r["failed"],
+                        r["bytes"],
+                        r["fetch_ms_sum"],
+                    )
+                    for r in sorted(
+                        grp_rows, key=lambda r: (r["partition_id"], r["host"])
+                    )
+                ],
+                meta={"round": round_no},
+            )
 
         mark("metrics_append")
         # ---- retries: transient failures re-enter the frontier ----------
@@ -1507,7 +1518,10 @@ class CrawlEngine:
             # 24% of deep-crawl wall in dense_seq, BENCH/deep_stage_
             # marks.txt). O(round links) memory, same order as seq_pin.
             typed = typed.persist()
-            with_seq, seq_pin = dense_seq(
+            # numeric-lead variant (r7): deterministic buckets, no
+            # boundary-sampling pass, no pinned intermediate — seqs
+            # identical to dense_seq (see ranking.dense_seq_numeric)
+            with_seq, seq_pin = dense_seq_numeric(
                 typed, ["parent_seq", "link_pos"], start=max_seq + 1
             )
             new_rows = with_seq.select(

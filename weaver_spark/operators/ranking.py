@@ -80,6 +80,65 @@ def dense_seq(
     return out, part
 
 
+def dense_seq_numeric(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "enqueue_seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``dense_seq`` for a NUMERIC leading order column (r7).
+
+    Equal-width buckets on the leading column replace
+    ``repartitionByRange``'s boundary sampling: the bucket of a row is a
+    pure deterministic function of its key, so there is no sampling
+    pass, no per-plan-execution seed, and therefore NO pinned
+    intermediate to guard against resampling (the correctness hazard
+    dense_seq's persist exists for). Two tiny jobs — a min/max agg and
+    a per-bucket count agg, both map-side partial with O(buckets)
+    exchanges — then the offset+row_number window rides inside the
+    consumer's own job. Bucketing only the LEADING column is
+    order-preserving for the full key (equal leads stay in one bucket,
+    ordered within by the window), so the assigned sequence numbers are
+    IDENTICAL to dense_seq's. Bucket width assumes the leading column
+    is roughly uniform over [min, max] (the engine's links carry dense
+    parent seqs); a pathological distribution degrades parallelism,
+    never correctness. Returns (result, None) — nothing to unpersist.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead = order_cols[0]
+    bounds = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
+    if bounds["lo"] is None:  # empty input
+        return df.withColumn(seq_col, F.lit(start).cast("long")), None
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, -(-(hi - lo + 1) // num_partitions))  # ceil division
+    bucket = F.floor(
+        (F.col(lead).cast("long") - F.lit(lo)) / F.lit(span)
+    ).cast("int")
+    b = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in b.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    mapping = F.create_map(
+        *[F.lit(x) for bkt_off in offsets.items() for x in bkt_off]
+    )
+    w = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+    out = b.withColumn(
+        seq_col,
+        (
+            F.row_number().over(w) - 1 + F.coalesce(mapping[F.col("_bkt")], F.lit(0))
+        ).cast("long"),
+    ).drop("_bkt")
+    return out, None
+
+
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column | str], k: int
 ) -> DataFrame:
