@@ -13,9 +13,10 @@ before deciding to keep it:
     MAX_WINDOWS=6 total;
   * print the aggregate (median of admitted, median of all) at the end.
 
-Usage: python scripts/run_scaling_windows.py [start_index]
-(start_index lets an interrupted run resume numbering; default = next
-free index)."""
+Usage: python scripts/run_scaling_windows.py
+(an interrupted run resumes automatically: existing
+BENCH/scaling_r6_window{K}.json files are reloaded and numbering
+continues at the next free index)."""
 
 from __future__ import annotations
 
@@ -50,8 +51,23 @@ def _run_window(k: int) -> dict:
         text=True,
         cwd=HERE,
     )
+    # surface a crashed/empty bench run with its stderr instead of an
+    # opaque IndexError/JSONDecodeError aborting a multi-hour battery
+    if p.returncode != 0 or not p.stdout.strip():
+        raise RuntimeError(
+            f"window {k}: bench.py --scaling failed "
+            f"(rc={p.returncode}); stderr tail:\n"
+            + "\n".join(p.stderr.strip().splitlines()[-15:])
+        )
     line = p.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    try:
+        out = json.loads(line)
+    except json.JSONDecodeError as e:
+        raise RuntimeError(
+            f"window {k}: bench.py --scaling printed a non-JSON last "
+            f"line ({line[:200]!r}); stderr tail:\n"
+            + "\n".join(p.stderr.strip().splitlines()[-15:])
+        ) from e
     with open(os.path.join(BENCH_DIR, f"scaling_r6_window{k}.json"), "w") as f:
         json.dump(out, f, indent=1)
     return out

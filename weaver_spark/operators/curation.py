@@ -447,13 +447,19 @@ def pack_shards(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
         buf = io.BytesIO()
+        # name=None tuples + a positional column map: pandas' named
+        # itertuples positionally RENAMES columns that are not valid
+        # Python identifiers (dotted/spacey names) or collide, which
+        # made _asdict()[col] raise for legal member column names
+        col_idx = {c: i for i, c in enumerate(pdf.columns)}
+        id_i = col_idx[id_col]
+        member_idx = [(col_idx[c], ext) for c, ext in members]
         with tarfile.open(
             fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
         ) as tar:
-            for row in pdf.itertuples(index=False):
-                rowd = row._asdict()
-                for col, ext in members:
-                    raw = rowd[col]
+            for row in pdf.itertuples(index=False, name=None):
+                for ci, ext in member_idx:
+                    raw = row[ci]
                     if raw is None:
                         continue
                     data = (
@@ -461,7 +467,7 @@ def pack_shards(
                         if isinstance(raw, str)
                         else bytes(raw)
                     )
-                    info = tarfile.TarInfo(name=f"{rowd[id_col]}.{ext}")
+                    info = tarfile.TarInfo(name=f"{row[id_i]}.{ext}")
                     info.size = len(data)
                     info.mtime = 0
                     info.uid = info.gid = 0
