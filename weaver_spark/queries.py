@@ -32,6 +32,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Floor a SMALL scan to the session's parallelism before per-row-
+    heavy map work (r7, guide §2.5/§6).
+
+    The driver's testdata tables are single parquet files with a single
+    row group, so they scan as ONE task no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say (splits cannot cross
+    row groups) — and every tokenizer/md5/higher-order-function
+    expression above such a scan runs on one core. A round-robin
+    ``repartition(defaultParallelism)`` spreads the rows; it moves only
+    the pruned scan columns (a few MB here) and is SKIPPED whenever the
+    scan already parallelizes — i.e. any real-scale input — so at 100 TB
+    this is a no-op, never a corpus-wide exchange. Row placement does
+    not affect any registry result (aggregates, sorted collect_lists and
+    total-order windows are partition-invariant)."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 DEC = "decimal(28,6)"
 
 # ---------------------------------------------------------------------------
@@ -248,7 +270,7 @@ WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-15 00:00:00'
 def topk_links_per_page(spark: SparkSession, sf: str) -> DataFrame:
     """W1 per-page link cap (reference amazonRootHandler.go:33-43 k=3):
     top-3 lineitems per order in deterministic 'DOM order'."""
-    li = _t(spark, sf, "lineitem")
+    li = _spread(_t(spark, sf, "lineitem"))
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber")
     )
@@ -459,7 +481,7 @@ FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM doc
 
 def token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace/regex token counting over documents."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.size(F.expr(_TOKENIZE_SPARK)).alias("n_tokens"),
@@ -486,7 +508,7 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     'how many LLM tokens is this corpus'). Both are single JVM-side
     regex passes (regexp_extract_all / split), no Python; at 100 TB
     this is a pure map stage with only `text` read from the scan."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
@@ -509,7 +531,7 @@ FROM documents
 def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics: stopword ratio + mean token length + distinct
     token ratio (the classic crawl-corpus filters)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     toks = F.expr(_TOKENIZE_SPARK)
     n = F.size(toks)
     stop = F.size(F.expr(
@@ -545,8 +567,11 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     exchanges + sort aggregates over |doc| x |tokens| rows) collapses
     to zero shuffles (guide §2.4). min over a multiset equals min over
     its distinct set and docs with no tokens never produced a group, so
-    the ``size > 0`` filter reproduces the old row set exactly."""
-    d = _t(spark, sf, "documents")
+    the ``size > 0`` filter reproduces the old row set exactly.
+    ``_spread`` floors the map pass to the session's cores (the
+    single-file scan otherwise runs the whole tokenizer+md5 pass on one
+    task)."""
+    d = _spread(_t(spark, sf, "documents"))
     base = d.select(
         "doc_id", F.array_distinct(F.expr(_TOKENIZE_SPARK)).alias("_toks")
     ).where(F.size("_toks") > 0)
@@ -660,8 +685,9 @@ def simhash16(spark: SparkSession, sf: str) -> DataFrame:
     whose md5 + 16 sum aggregates all run in whole-stage codegen and
     whose single exchange carries only (doc_id, h) ints. Guide §1.1:
     the "ideal" shuffle-free plan lost to the codegen gotcha, so the
-    empirical winner stays."""
-    d = _t(spark, sf, "documents")
+    empirical winner stays. ``_spread`` parallelizes the tokenize +
+    explode + md5 map side of the single-file scan."""
+    d = _spread(_t(spark, sf, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
@@ -719,7 +745,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """
     d = _t(spark, sf, "documents")
     n_docs = d.count()
-    tok = d.select(
+    tok = _spread(d).select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKENIZE_SPARK))).alias("tok")
     )
     kept = (
@@ -918,7 +944,7 @@ def phash_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     oracle's HAVING over the bands CTE."""
     from .operators.dedup import dedup_phash_hamming
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     base = d.select(
         "doc_id",
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
@@ -963,8 +989,10 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     r7 note (measured, kept as-is): a dim-unrolled static-expression
     rewrite of dot/norm was tried and REVERTED — the 64-term get/add
     chains measured ~2.3x SLOWER at sf1.0 (count 1.2 -> 2.8 s) than
-    these zip_with/aggregate forms. Guide §1.1 empirical loop wins."""
-    emb = _t(spark, sf, "embeddings")
+    these zip_with/aggregate forms. Guide §1.1 empirical loop wins.
+    ``_spread`` parallelizes the per-row dot/norm lambdas of the
+    single-file corpus scan."""
+    emb = _spread(_t(spark, sf, "embeddings"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), dbl.alias("v"))
     norm = base.withColumn(
@@ -1029,7 +1057,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     (operators/similarity.knn_lsh) or IVF cells (knn_ivf) instead of
     all-pairs — both implemented and recall-tested; the per-candidate
     exact verify is identical to this."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), dbl.alias("v"))
     planted = base.where(F.col("vec_id") < 50).select(
@@ -1092,7 +1120,9 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8)
     queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") <= 104))
-    out = knn_ivf(emb, queries, centroids, k=3, n_probe=2)
+    # corpus side spread: cell assignment + candidate scoring are per-row
+    # lambda work that otherwise runs on the single-file scan's ONE task
+    out = knn_ivf(_spread(emb), queries, centroids, k=3, n_probe=2)
     return out.select(
         "query_id", "neighbor_id", "rk", F.round("cosine", 4).alias("cosine")
     )
@@ -1264,7 +1294,7 @@ def caption_curation_filter(spark: SparkSession, sf: str) -> DataFrame:
     digit-spam gates, all JVM expressions — a map-only pass at 100 TB."""
     from .operators.curation import curate_image_captions
 
-    base = _synth_dims(_t(spark, sf, "documents"))
+    base = _synth_dims(_spread(_t(spark, sf, "documents")))
     kept = curate_image_captions(
         base,
         min_dim=64,
@@ -1310,7 +1340,7 @@ def aspect_bucket_rollup(spark: SparkSession, sf: str) -> DataFrame:
     the batching prep step of image-generation training."""
     from .operators.curation import aspect_bucket_col
 
-    base = _synth_dims(_t(spark, sf, "documents"))
+    base = _synth_dims(_spread(_t(spark, sf, "documents")))
     return (
         base.withColumn(
             "bucket", aspect_bucket_col(F.col("w"), F.col("h"))
@@ -1436,7 +1466,7 @@ def decontaminate_train_split(spark: SparkSession, sf: str) -> DataFrame:
     the corpus never shuffles by gram."""
     from .operators.curation import contamination_check, split_assign_col
 
-    d = _t(spark, sf, "documents").withColumn(
+    d = _spread(_t(spark, sf, "documents")).withColumn(
         "split", split_assign_col(F.col("doc_id"), method="md5")
     )
     flagged = contamination_check(

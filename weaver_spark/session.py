@@ -52,6 +52,17 @@ def get_spark(
         .master(master)
         .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-parallelism FLOOR (guide §6): without it a table written
+        # as one file scans as maxPartitionBytes-sized splits — a 110 MB
+        # file is ONE task, and every per-row expression above the scan
+        # runs on one core of the session. The floor derives from the
+        # session's parallelism (never a constant): at cluster scale the
+        # natural file/row-group count of a 100 TB table is far above
+        # any core count, so the floor is inert there; splits still
+        # cannot cross parquet row groups, so the floor is also bounded
+        # by the writer's row-group size (the explicit _spread
+        # repartition in queries.py covers single-row-group inputs).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
