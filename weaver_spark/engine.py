@@ -1397,6 +1397,13 @@ class CrawlEngine:
                 F.sum(
                     F.when(F.col("status_code") == 304, 1).otherwise(0)
                 ).alias("revalidated"),
+                # seq range of the fetched rows: every links/retry row's
+                # parent_seq lies in it, so dense_seq_numeric's bounds
+                # ride THIS rollup instead of running their own min/max
+                # job per round (conservative bounds assign identical
+                # seqs — see ranking.dense_seq_numeric)
+                F.min("enqueue_seq").alias("mn_seq"),
+                F.max("enqueue_seq").alias("mx_seq"),
             )
             .collect()
         )
@@ -1405,6 +1412,11 @@ class CrawlEngine:
             for k in ("fetched", "failed", "n_links", "revalidated")
         }
         agg["payload_rows"] = sum(r["payloads"] for r in grp_rows)
+        seq_bounds = (
+            (min(r["mn_seq"] for r in grp_rows), max(r["mx_seq"] for r in grp_rows))
+            if grp_rows
+            else None
+        )
         mark("stats_agg")
         # idempotent on re-run after rollback/crash: a metrics commit for
         # this round that already exists is reused, not duplicated
@@ -1522,7 +1534,8 @@ class CrawlEngine:
             # boundary-sampling pass, no pinned intermediate — seqs
             # identical to dense_seq (see ranking.dense_seq_numeric)
             with_seq, seq_pin = dense_seq_numeric(
-                typed, ["parent_seq", "link_pos"], start=max_seq + 1
+                typed, ["parent_seq", "link_pos"], start=max_seq + 1,
+                bounds=seq_bounds,
             )
             new_rows = with_seq.select(
                 "url",

@@ -86,6 +86,7 @@ def dense_seq_numeric(
     seq_col: str = "enqueue_seq",
     start: int = 0,
     num_partitions: int | None = None,
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """``dense_seq`` for a NUMERIC leading order column (r7).
 
@@ -104,15 +105,25 @@ def dense_seq_numeric(
     is roughly uniform over [min, max] (the engine's links carry dense
     parent seqs); a pathological distribution degrades parallelism,
     never correctness. Returns (result, None) — nothing to unpersist.
+
+    ``bounds`` (lo, hi) skips the min/max job when the caller already
+    knows a RANGE COVERING the leading column (the engine derives it
+    from the same rollup that feeds metrics — one fewer fixed job per
+    round). Conservative (wider) bounds are safe: the bucket function
+    stays monotone in the leading column, so per-bucket offsets +
+    in-bucket ordering assign the IDENTICAL sequence numbers; unused
+    sub-ranges only show up as empty buckets.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     lead = order_cols[0]
-    bounds = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
-    if bounds["lo"] is None:  # empty input
-        return df.withColumn(seq_col, F.lit(start).cast("long")), None
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    if bounds is None:
+        row = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
+        if row["lo"] is None:  # empty input
+            return df.withColumn(seq_col, F.lit(start).cast("long")), None
+        bounds = (int(row["lo"]), int(row["hi"]))
+    lo, hi = bounds
     span = max(1, -(-(hi - lo + 1) // num_partitions))  # ceil division
     bucket = F.floor(
         (F.col(lead).cast("long") - F.lit(lo)) / F.lit(span)
