@@ -81,6 +81,40 @@ def test_dense_seq_numeric_empty(spark):
     assert pin is None
 
 
+def test_dense_seq_numeric_conservative_bounds(spark):
+    """Caller-supplied bounds (the r7 engine path: bounds ride the
+    metrics rollup instead of a dedicated min/max job) must assign
+    sequence numbers identical to the self-computed-bounds path, even
+    when the supplied range is much WIDER than the data (the engine's
+    range covers all fetched seqs, links exist for only some) and when
+    it merely touches the true min/max."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            ((F.col("id") % 113) * 5 + 200).alias("parent_seq"),
+            F.col("id").alias("link_pos"),
+        )
+        .dropDuplicates(["parent_seq", "link_pos"])
+    )
+    base, _ = dense_seq_numeric(df, ["parent_seq", "link_pos"], start=3)
+    expected = {
+        (r["parent_seq"], r["link_pos"]): r["enqueue_seq"]
+        for r in base.collect()
+    }
+    lo, hi = 200, (112 * 5 + 200)
+    for bounds in ((lo, hi), (0, 10 * hi), (lo - 1, hi + 999_999)):
+        out, pin = dense_seq_numeric(
+            df, ["parent_seq", "link_pos"], start=3, bounds=bounds
+        )
+        assert pin is None
+        got = {
+            (r["parent_seq"], r["link_pos"]): r["enqueue_seq"]
+            for r in out.collect()
+        }
+        assert got == expected, f"bounds={bounds}"
+
+
 def test_topk_and_fifo(spark):
     df = spark.createDataFrame(
         [(g, i) for g in range(5) for i in range(10)], "g int, i int"
